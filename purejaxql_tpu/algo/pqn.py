@@ -1,0 +1,419 @@
+"""FF-PQN: the fused single-XLA-program trainer for feedforward Q-networks.
+
+One `make_train(config)` covers the reference's three feedforward scripts —
+pqn_gymnax.py (MLP + vmapped envs), pqn_minatar.py (CNN), pqn_craftax.py
+(large batch, optimistic resets, optional 1-step TD) — as config switches on
+a single engine. The entire run (env stepping, epsilon-greedy exploration,
+Q(lambda) reverse scan, epoch/minibatch SGD, periodic greedy evaluation,
+metric emission) is traced once and compiled into a single XLA program:
+`lax.scan(_update_step, ..., NUM_UPDATES)` exactly like the reference
+(pqn_gymnax.py:418-420), and seeds batch via `jax.jit(jax.vmap(train))`.
+
+RNG discipline replicates the reference split-for-split (SURVEY.md §2.5 #13)
+— required for bitwise trajectory parity under a fixed seed.
+
+TPU design notes:
+- The rollout scan's per-step network apply is a batched (E, obs)·(obs, H)
+  matmul — MXU work; epsilon-greedy and env dynamics fuse into its epilogue.
+- The learn phase reshapes (T, E) -> (T*E,) once, permutes with a single
+  shared key, and scans minibatches; the permutation gather is the only
+  HBM-bound op and is amortized over NUM_EPOCHS by XLA CSE.
+- Metrics stream to the host via `jax.debug.callback` (async, off the
+  critical path); stacked in-graph metrics are optional (COLLECT_METRICS)
+  so 1e6-update runs don't hold useless HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from purejaxql_tpu.algo.exploration import eps_greedy_batch
+from purejaxql_tpu.algo.returns import lambda_returns
+from purejaxql_tpu.algo.types import Transition
+from purejaxql_tpu.core.optim import make_optimizer
+from purejaxql_tpu.core.schedules import epsilon_schedule, lr_schedule
+from purejaxql_tpu.core.train_state import PQNTrainState
+from purejaxql_tpu.envs import make as make_env
+from purejaxql_tpu.envs import wrappers
+from purejaxql_tpu.models.factory import make_q_network
+from purejaxql_tpu.utils.logging import MetricLogger
+
+
+def build_env(config):
+    """Construct the train/test env pair per the config's env family.
+
+    - Default ("split" mode): raw env + Flatten (MLP only) + Log, vectorized
+      by splitting one key into per-env keys and vmapping — the gymnax-script
+      convention (pqn_gymnax.py:92-104).
+    - USE_OPTIMISTIC_RESETS: Log(raw) inside an OptimisticResetVecEnv — the
+      craftax-script convention (pqn_craftax.py:96-114).
+    - BATCH_ENV: Log(raw) inside BatchEnv (internal key splitting).
+    """
+    env, env_params = make_env(config["ENV_NAME"], **config.get("ENV_KWARGS", {}))
+    obs_shape = env.observation_space(env_params).shape
+    flatten = config.get("FLATTEN_OBS", len(obs_shape) == 1 or config.get("ARCH") == "mlp")
+
+    if flatten and len(obs_shape) > 1:
+        env = wrappers.FlattenObservation(env)
+    log_env = wrappers.Log(env)
+
+    if config.get("USE_OPTIMISTIC_RESETS", False):
+        train_env = wrappers.OptimisticResetVecEnv(
+            log_env,
+            num_envs=config["NUM_ENVS"],
+            reset_ratio=min(config["OPTIMISTIC_RESET_RATIO"], config["NUM_ENVS"]),
+        )
+        test_env = wrappers.OptimisticResetVecEnv(
+            log_env,
+            num_envs=config["TEST_NUM_ENVS"],
+            reset_ratio=min(config["OPTIMISTIC_RESET_RATIO"], config["TEST_NUM_ENVS"]),
+        )
+        mode = "batched"
+    elif config.get("BATCH_ENV", False):
+        train_env = wrappers.BatchEnv(log_env, num_envs=config["NUM_ENVS"])
+        test_env = wrappers.BatchEnv(log_env, num_envs=config["TEST_NUM_ENVS"])
+        mode = "batched"
+    else:
+        train_env = test_env = log_env
+        mode = "split"
+    return train_env, test_env, env, env_params, mode
+
+
+def _vec_reset(env, env_params, n_envs, mode):
+    if mode == "batched":
+        return lambda rng: env.reset(rng, env_params)
+    return lambda rng: jax.vmap(env.reset, in_axes=(0, None))(
+        jax.random.split(rng, n_envs), env_params
+    )
+
+
+def _vec_step(env, env_params, n_envs, mode):
+    if mode == "batched":
+        return lambda rng, state, action: env.step(rng, state, action, env_params)
+    return lambda rng, state, action: jax.vmap(env.step, in_axes=(0, 0, 0, None))(
+        jax.random.split(rng, n_envs), state, action, env_params
+    )
+
+
+def make_train(
+    config: Dict[str, Any],
+    logger: Optional[MetricLogger] = None,
+    pmap_axis: Optional[str] = None,
+) -> Callable:
+    """Build the jittable `train(rng) -> {"runner_state", "metrics"}`.
+
+    With `pmap_axis` set, the trainer becomes the per-shard body of an SPMD
+    program (run it under `jax.shard_map` over a mesh axis of that name; see
+    parallel/spmd.py): NUM_ENVS is then the *local* env count, the agent is
+    initialized identically on every shard (same rng), the env/exploration
+    rng stream is decorrelated per shard by folding in the axis index, and
+    gradients + batch-norm statistics + metrics are pmean'd over the axis so
+    learner replicas stay in lockstep — the data-parallel actor/learner
+    layout over ICI that BASELINE.json's north star asks for.
+    """
+
+    config = dict(config)
+    config["TOTAL_TIMESTEPS"] = int(float(config["TOTAL_TIMESTEPS"]))
+    config["TOTAL_TIMESTEPS_DECAY"] = int(
+        float(config.get("TOTAL_TIMESTEPS_DECAY", config["TOTAL_TIMESTEPS"]))
+    )
+    config["NUM_UPDATES"] = (
+        config["TOTAL_TIMESTEPS"] // config["NUM_STEPS"] // config["NUM_ENVS"]
+    )
+    config["NUM_UPDATES_DECAY"] = (
+        config["TOTAL_TIMESTEPS_DECAY"] // config["NUM_STEPS"] // config["NUM_ENVS"]
+    )
+    assert (
+        config["NUM_STEPS"] * config["NUM_ENVS"]
+    ) % config["NUM_MINIBATCHES"] == 0, "NUM_MINIBATCHES must divide NUM_STEPS*NUM_ENVS"
+
+    train_env, test_env, base_env, env_params, mode = build_env(config)
+    config["TEST_NUM_STEPS"] = config.get(
+        "TEST_NUM_STEPS", getattr(env_params, "max_steps_in_episode", 1000)
+    )
+
+    vmap_reset = _vec_reset(train_env, env_params, config["NUM_ENVS"], mode)
+    vmap_step = _vec_step(train_env, env_params, config["NUM_ENVS"], mode)
+    test_reset = _vec_reset(test_env, env_params, config["TEST_NUM_ENVS"], mode)
+    test_step = _vec_step(test_env, env_params, config["TEST_NUM_ENVS"], mode)
+
+    action_dim = base_env.action_space(env_params).n
+    obs_shape = train_env.observation_space(env_params).shape
+
+    network = make_q_network(config, action_dim, obs_shape, norm_axis_name=pmap_axis)
+    rew_scale = config.get("REW_SCALE", 1.0)
+    timestep_scale = config.get("TIMESTEP_SCALE", 1)
+    # In-graph streaming needs host-callback support, which some TPU
+    # runtimes lack; default is collect-in-graph + host-side replay.
+    use_callback = config.get("LOG_VIA_CALLBACK", False)
+    use_q_lambda = config.get("Q_LAMBDA", True)
+    metric_callback = logger.make_callback() if logger is not None else None
+    collect_metrics = config.get("COLLECT_METRICS", True)
+
+    def train(rng: jax.Array):
+        original_rng = rng[0]
+
+        eps_scheduler = epsilon_schedule(
+            config["EPS_START"],
+            config["EPS_FINISH"],
+            config["EPS_DECAY"] * config["NUM_UPDATES_DECAY"],
+        )
+        lr = lr_schedule(config)
+
+        def create_agent(rng):
+            init_x = jnp.zeros((1, *obs_shape))
+            network_variables = network.init(rng, init_x, train=False)
+            tx = make_optimizer(config["MAX_GRAD_NORM"], lr)
+            return PQNTrainState.create(
+                apply_fn=network.apply,
+                params=network_variables["params"],
+                batch_stats=network_variables["batch_stats"],
+                tx=tx,
+            )
+
+        rng, _rng = jax.random.split(rng)
+        train_state = create_agent(rng)
+
+        if pmap_axis is not None:
+            # Same params everywhere; distinct env/exploration streams.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(pmap_axis))
+
+        def apply_eval(train_state, obs):
+            return network.apply(
+                {
+                    "params": train_state.params,
+                    "batch_stats": train_state.batch_stats,
+                },
+                obs,
+                train=False,
+            )
+
+        def _update_step(runner_state, unused):
+            train_state, expl_state, test_metrics, rng = runner_state
+
+            # ---- rollout ------------------------------------------------
+            def _step_env(carry, _):
+                last_obs, env_state, rng = carry
+                rng, rng_a, rng_s = jax.random.split(rng, 3)
+                q_vals = apply_eval(train_state, last_obs)
+                eps = jnp.full(
+                    config["NUM_ENVS"], eps_scheduler(train_state.n_updates)
+                )
+                new_action = eps_greedy_batch(rng_a, q_vals, eps)
+                new_obs, new_env_state, reward, new_done, info = vmap_step(
+                    rng_s, env_state, new_action
+                )
+                transition = Transition(
+                    obs=last_obs,
+                    action=new_action,
+                    reward=rew_scale * reward,
+                    done=new_done,
+                    next_obs=new_obs,
+                    q_val=q_vals,
+                )
+                return (new_obs, new_env_state, rng), (transition, info)
+
+            rng, _rng = jax.random.split(rng)
+            (*expl_state, rng), (transitions, infos) = jax.lax.scan(
+                _step_env, (*expl_state, _rng), None, config["NUM_STEPS"]
+            )
+            expl_state = tuple(expl_state)
+
+            train_state = train_state.replace(
+                timesteps=train_state.timesteps
+                + config["NUM_STEPS"] * config["NUM_ENVS"] * timestep_scale
+            )
+
+            # ---- lambda-return targets ---------------------------------
+            if use_q_lambda:
+                last_q = apply_eval(train_state, transitions.next_obs[-1])
+                last_q = jnp.max(last_q, axis=-1)
+                lambda_targets = lambda_returns(
+                    last_q,
+                    transitions.reward,
+                    transitions.done,
+                    jnp.max(transitions.q_val, axis=-1),
+                    config["GAMMA"],
+                    config["LAMBDA"],
+                )
+            else:
+                # 1-step TD recomputed per-minibatch inside the loss
+                # (pqn_craftax.py:286-303); placeholder targets keep the
+                # minibatch pipeline uniform.
+                lambda_targets = transitions.reward
+
+            # ---- epoch/minibatch SGD -----------------------------------
+            def _learn_epoch(carry, _):
+                train_state, rng = carry
+
+                def _learn_phase(carry, minibatch_and_target):
+                    train_state, rng = carry
+                    minibatch, target = minibatch_and_target
+
+                    def _loss_fn(params):
+                        if use_q_lambda:
+                            q_vals, updates = network.apply(
+                                {
+                                    "params": params,
+                                    "batch_stats": train_state.batch_stats,
+                                },
+                                minibatch.obs,
+                                train=True,
+                                mutable=["batch_stats"],
+                            )
+                            tgt = target
+                        else:
+                            all_q_vals, updates = network.apply(
+                                {
+                                    "params": params,
+                                    "batch_stats": train_state.batch_stats,
+                                },
+                                jnp.concatenate(
+                                    (minibatch.obs, minibatch.next_obs)
+                                ),
+                                train=True,
+                                mutable=["batch_stats"],
+                            )
+                            q_vals, q_next = jnp.split(all_q_vals, 2)
+                            q_next = jnp.max(
+                                jax.lax.stop_gradient(q_next), axis=-1
+                            )
+                            tgt = (
+                                minibatch.reward
+                                + (1 - minibatch.done) * config["GAMMA"] * q_next
+                            )
+
+                        chosen_action_qvals = jnp.take_along_axis(
+                            q_vals,
+                            jnp.expand_dims(minibatch.action, axis=-1),
+                            axis=-1,
+                        ).squeeze(axis=-1)
+                        loss = 0.5 * jnp.square(chosen_action_qvals - tgt).mean()
+                        return loss, (updates, chosen_action_qvals)
+
+                    (loss, (updates, qvals)), grads = jax.value_and_grad(
+                        _loss_fn, has_aux=True
+                    )(train_state.params)
+                    if pmap_axis is not None:
+                        grads = jax.lax.pmean(grads, pmap_axis)
+                    train_state = train_state.apply_gradients(grads=grads)
+                    train_state = train_state.replace(
+                        grad_steps=train_state.grad_steps + 1,
+                        batch_stats=updates["batch_stats"],
+                    )
+                    return (train_state, rng), (loss, qvals)
+
+                def preprocess_transition(x, rng):
+                    x = x.reshape(-1, *x.shape[2:])
+                    x = jax.random.permutation(rng, x)
+                    return x.reshape(config["NUM_MINIBATCHES"], -1, *x.shape[1:])
+
+                rng, _rng = jax.random.split(rng)
+                minibatches = jax.tree_util.tree_map(
+                    lambda x: preprocess_transition(x, _rng), transitions
+                )
+                targets = jax.tree_util.tree_map(
+                    lambda x: preprocess_transition(x, _rng), lambda_targets
+                )
+
+                rng, _rng = jax.random.split(rng)
+                (train_state, rng), (loss, qvals) = jax.lax.scan(
+                    _learn_phase, (train_state, rng), (minibatches, targets)
+                )
+                return (train_state, rng), (loss, qvals)
+
+            rng, _rng = jax.random.split(rng)
+            (train_state, rng), (loss, qvals) = jax.lax.scan(
+                _learn_epoch, (train_state, rng), None, config["NUM_EPOCHS"]
+            )
+
+            train_state = train_state.replace(n_updates=train_state.n_updates + 1)
+            metrics = {
+                "env_step": train_state.timesteps,
+                "update_steps": train_state.n_updates,
+                "grad_steps": train_state.grad_steps,
+                "td_loss": loss.mean(),
+                "qvals": qvals.mean(),
+            }
+            metrics.update({k: v.mean() for k, v in infos.items()})
+            if pmap_axis is not None:
+                metrics = jax.lax.pmean(metrics, pmap_axis)
+
+            if config.get("TEST_DURING_TRAINING", False):
+                rng, _rng = jax.random.split(rng)
+                test_metrics = jax.lax.cond(
+                    train_state.n_updates
+                    % int(config["NUM_UPDATES"] * config["TEST_INTERVAL"])
+                    == 0,
+                    lambda _: get_test_metrics(train_state, _rng),
+                    lambda _: test_metrics,
+                    operand=None,
+                )
+                metrics.update({f"test/{k}": v for k, v in test_metrics.items()})
+
+            if metric_callback is not None and use_callback:
+                log_interval = config.get("LOG_INTERVAL", 1)
+                jax.lax.cond(
+                    train_state.n_updates % log_interval == 0,
+                    lambda: jax.debug.callback(
+                        metric_callback, metrics, original_rng
+                    ),
+                    lambda: None,
+                )
+
+            runner_state = (train_state, tuple(expl_state), test_metrics, rng)
+            out = metrics if collect_metrics else {}
+            return runner_state, out
+
+        def get_test_metrics(train_state, rng):
+            if not config.get("TEST_DURING_TRAINING", False):
+                return None
+
+            def _env_step(carry, _):
+                env_state, last_obs, rng = carry
+                rng, _rng = jax.random.split(rng)
+                q_vals = apply_eval(train_state, last_obs)
+                eps = jnp.full(config["TEST_NUM_ENVS"], config["EPS_TEST"])
+                action = eps_greedy_batch(_rng, q_vals, eps)
+                # NOTE: the reference reuses _rng for action sampling and
+                # stepping here (pqn_gymnax.py:381-386); preserved for
+                # parity.
+                new_obs, new_env_state, reward, done, info = test_step(
+                    _rng, env_state, action
+                )
+                return (new_env_state, new_obs, rng), info
+
+            rng, _rng = jax.random.split(rng)
+            init_obs, env_state = test_reset(_rng)
+            _, infos = jax.lax.scan(
+                _env_step,
+                (env_state, init_obs, _rng),
+                None,
+                config["TEST_NUM_STEPS"],
+            )
+            done_infos = jax.tree_util.tree_map(
+                lambda x: jnp.nanmean(
+                    jnp.where(infos["returned_episode"], x, jnp.nan)
+                ),
+                infos,
+            )
+            return done_infos
+
+        rng, _rng = jax.random.split(rng)
+        test_metrics = get_test_metrics(train_state, _rng)
+
+        rng, _rng = jax.random.split(rng)
+        expl_state = vmap_reset(_rng)
+
+        rng, _rng = jax.random.split(rng)
+        runner_state = (train_state, expl_state, test_metrics, _rng)
+
+        runner_state, metrics = jax.lax.scan(
+            _update_step, runner_state, None, config["NUM_UPDATES"]
+        )
+        return {"runner_state": runner_state, "metrics": metrics}
+
+    return train

@@ -1,0 +1,454 @@
+"""Environment wrappers: the full wrapper inventory of the reference, rebuilt.
+
+Covers (reference citations into /root/reference/purejaxql/):
+- FlattenObservation  (gymnax.wrappers.purerl used at pqn_gymnax.py:93)
+- Log                 (episode-return/length accounting, pqn_gymnax.py:94,
+                       utils/craftax_wrappers.py:151-200)
+- BatchEnv            (internal vmap over num_envs, utils/craftax_wrappers.py:21-45)
+- AutoReset           (utils/craftax_wrappers.py:48-80; note our base
+                       Environment.step already auto-resets — this wrapper
+                       exists for envs exposing only reset_env/step_env raw)
+- OptimisticResetVecEnv (utils/craftax_wrappers.py:83-148 — only
+                       num_envs/reset_ratio reset computations per step,
+                       shared across done envs)
+- ClipAction, TransformObservation, TransformReward, VecEnv
+                      (utils/brax_wrappers.py:275-321)
+- NormalizeVecObservation, NormalizeVecReward (utils/brax_wrappers.py:335-566)
+- LogVec              (utils/brax_wrappers.py:579-629)
+
+All wrappers are pure pytree-state transformations and compile into the same
+single XLA program as the env itself.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from purejaxql_tpu.envs import spaces
+from purejaxql_tpu.envs.base import Environment, Wrapper
+
+
+class FlattenObservation(Wrapper):
+    """Flatten observations to 1-D vectors."""
+
+    def reset(self, key, params=None):
+        obs, state = self._env.reset(key, params)
+        return obs.reshape(-1), state
+
+    def step(self, key, state, action, params=None):
+        obs, state, reward, done, info = self._env.step(key, state, action, params)
+        return obs.reshape(-1), state, reward, done, info
+
+    def observation_space(self, params):
+        space = self._env.observation_space(params)
+        n = int(np.prod(space.shape))
+        return spaces.Box(
+            np.asarray(space.low).reshape(-1) if np.ndim(space.low) else space.low,
+            np.asarray(space.high).reshape(-1) if np.ndim(space.high) else space.high,
+            (n,),
+            space.dtype,
+        )
+
+
+@struct.dataclass
+class LogEnvState:
+    env_state: Any
+    episode_returns: jax.Array
+    episode_lengths: jax.Array
+    returned_episode_returns: jax.Array
+    returned_episode_lengths: jax.Array
+    timestep: jax.Array
+
+
+class Log(Wrapper):
+    """Accumulate per-episode return/length; emit them in `info` on done."""
+
+    def reset(self, key, params=None):
+        obs, env_state = self._env.reset(key, params)
+        zero_f = jnp.asarray(0.0)
+        zero_i = jnp.asarray(0, jnp.int32)
+        state = LogEnvState(env_state, zero_f, zero_i, zero_f, zero_i, zero_i)
+        return obs, state
+
+    def step(self, key, state, action, params=None):
+        obs, env_state, reward, done, info = self._env.step(
+            key, state.env_state, action, params
+        )
+        new_episode_return = state.episode_returns + reward
+        new_episode_length = state.episode_lengths + 1
+        not_done = (1 - done).astype(new_episode_return.dtype)
+        not_done_i = (1 - done).astype(jnp.int32)
+        state = LogEnvState(
+            env_state=env_state,
+            episode_returns=new_episode_return * not_done,
+            episode_lengths=new_episode_length * not_done_i,
+            returned_episode_returns=state.returned_episode_returns * not_done
+            + new_episode_return * done,
+            returned_episode_lengths=state.returned_episode_lengths * not_done_i
+            + new_episode_length * done,
+            timestep=state.timestep + 1,
+        )
+        info = dict(info)
+        info["returned_episode_returns"] = state.returned_episode_returns
+        info["returned_episode_lengths"] = state.returned_episode_lengths
+        info["timestep"] = state.timestep
+        info["returned_episode"] = done
+        return obs, state, reward, done, info
+
+    # Raw (non-auto-resetting) path so OptimisticResetVecEnv can manage
+    # resets itself, mirroring the reference's auto_reset=False craftax env
+    # under the optimistic wrapper (pqn_craftax.py:96-103).
+    def reset_env(self, key, params):
+        obs, env_state = self._env.reset_env(key, params)
+        zero_f = jnp.asarray(0.0)
+        zero_i = jnp.asarray(0, jnp.int32)
+        state = LogEnvState(env_state, zero_f, zero_i, zero_f, zero_i, zero_i)
+        return obs, state
+
+    def step_env(self, key, state, action, params):
+        obs, env_state, reward, done, info = self._env.step_env(
+            key, state.env_state, action, params
+        )
+        new_episode_return = state.episode_returns + reward
+        new_episode_length = state.episode_lengths + 1
+        not_done = (1 - done).astype(new_episode_return.dtype)
+        not_done_i = (1 - done).astype(jnp.int32)
+        state = LogEnvState(
+            env_state=env_state,
+            episode_returns=new_episode_return * not_done,
+            episode_lengths=new_episode_length * not_done_i,
+            returned_episode_returns=state.returned_episode_returns * not_done
+            + new_episode_return * done,
+            returned_episode_lengths=state.returned_episode_lengths * not_done_i
+            + new_episode_length * done,
+            timestep=state.timestep + 1,
+        )
+        info = dict(info)
+        info["returned_episode_returns"] = state.returned_episode_returns
+        info["returned_episode_lengths"] = state.returned_episode_lengths
+        info["timestep"] = state.timestep
+        info["returned_episode"] = done
+        return obs, state, reward, done, info
+
+
+class BatchEnv(Wrapper):
+    """vmap reset/step over `num_envs` with internal key splitting
+    (reference: craftax_wrappers.py:21-45)."""
+
+    def __init__(self, env: Environment, num_envs: int):
+        super().__init__(env)
+        self.num_envs = num_envs
+
+    def reset(self, key, params=None):
+        keys = jax.random.split(key, self.num_envs)
+        return jax.vmap(self._env.reset, in_axes=(0, None))(keys, params)
+
+    def step(self, key, state, action, params=None):
+        keys = jax.random.split(key, self.num_envs)
+        return jax.vmap(self._env.step, in_axes=(0, 0, 0, None))(
+            keys, state, action, params
+        )
+
+
+class AutoReset(Wrapper):
+    """Gymnax-style auto-reset built from raw reset_env/step_env
+    (reference: craftax_wrappers.py:48-80). Our base Environment.step already
+    has this behavior; use this wrapper for external envs exposing only the
+    raw transition."""
+
+    def reset(self, key, params=None):
+        return self._env.reset_env(key, params)
+
+    def step(self, key, state, action, params=None):
+        key, key_reset = jax.random.split(key)
+        obs_st, state_st, reward, done, info = self._env.step_env(
+            key, state, action, params
+        )
+        obs_re, state_re = self._env.reset_env(key_reset, params)
+        state = jax.tree_util.tree_map(
+            lambda re, st: jax.lax.select(done, re, st), state_re, state_st
+        )
+        obs = jax.lax.select(done, obs_re, obs_st)
+        return obs, state, reward, done, info
+
+
+class OptimisticResetVecEnv(Wrapper):
+    """Batched env with shared resets: computes only num_envs/reset_ratio
+    fresh reset states per step and routes them to done envs
+    (reference: craftax_wrappers.py:83-148). The win: for expensive-reset
+    envs (procedural worldgen) the reset cost amortizes by reset_ratio while
+    the per-step semantics stay within one lax.select of exact auto-reset.
+    """
+
+    def __init__(self, env: Environment, num_envs: int, reset_ratio: int):
+        super().__init__(env)
+        assert num_envs % reset_ratio == 0, "reset_ratio must divide num_envs"
+        self.num_envs = num_envs
+        self.reset_ratio = reset_ratio
+        self.num_resets = num_envs // reset_ratio
+
+    def reset(self, key, params=None):
+        keys = jax.random.split(key, self.num_envs)
+        return jax.vmap(self._env.reset_env, in_axes=(0, None))(keys, params)
+
+    def step(self, key, state, action, params=None):
+        key_step, key_reset, key_choice = jax.random.split(key, 3)
+        step_keys = jax.random.split(key_step, self.num_envs)
+        obs_st, state_st, reward, done, info = jax.vmap(
+            self._env.step_env, in_axes=(0, 0, 0, None)
+        )(step_keys, state, action, params)
+
+        reset_keys = jax.random.split(key_reset, self.num_resets)
+        obs_re, state_re = jax.vmap(self._env.reset_env, in_axes=(0, None))(
+            reset_keys, params
+        )
+
+        # Default slot map gives every env a reset slot; done envs chosen by
+        # weighted sampling get dedicated distinct slots so simultaneous
+        # resets are independent up to num_resets of them.
+        reset_indexes = jnp.arange(self.num_resets).repeat(self.reset_ratio)
+        being_reset = jax.random.choice(
+            key_choice,
+            jnp.arange(self.num_envs),
+            shape=(self.num_resets,),
+            p=done.astype(jnp.float32) + 1e-9,
+            replace=False,
+        )
+        reset_indexes = reset_indexes.at[being_reset].set(
+            jnp.arange(self.num_resets)
+        )
+
+        obs_re = jax.tree_util.tree_map(lambda x: x[reset_indexes], obs_re)
+        state_re = jax.tree_util.tree_map(lambda x: x[reset_indexes], state_re)
+
+        def select(re, st):
+            d = done.reshape(done.shape + (1,) * (st.ndim - 1))
+            return jnp.where(d, re, st)
+
+        obs = jax.tree_util.tree_map(select, obs_re, obs_st)
+        state = jax.tree_util.tree_map(select, state_re, state_st)
+        return obs, state, reward, done, info
+
+
+class ClipAction(Wrapper):
+    """Clip continuous actions to [low, high] (brax_wrappers.py:275-290)."""
+
+    def __init__(self, env: Environment, low: float = -1.0, high: float = 1.0):
+        super().__init__(env)
+        self.low = low
+        self.high = high
+
+    def step(self, key, state, action, params=None):
+        action = jnp.clip(action, self.low, self.high)
+        return self._env.step(key, state, action, params)
+
+
+class TransformObservation(Wrapper):
+    def __init__(self, env: Environment, transform_obs: Callable):
+        super().__init__(env)
+        self.transform_obs = transform_obs
+
+    def reset(self, key, params=None):
+        obs, state = self._env.reset(key, params)
+        return self.transform_obs(obs), state
+
+    def step(self, key, state, action, params=None):
+        obs, state, reward, done, info = self._env.step(key, state, action, params)
+        return self.transform_obs(obs), state, reward, done, info
+
+
+class TransformReward(Wrapper):
+    def __init__(self, env: Environment, transform_reward: Callable):
+        super().__init__(env)
+        self.transform_reward = transform_reward
+
+    def step(self, key, state, action, params=None):
+        obs, state, reward, done, info = self._env.step(key, state, action, params)
+        return obs, state, self.transform_reward(reward), done, info
+
+
+class VecEnv(Wrapper):
+    """vmap reset/step with caller-provided per-env keys
+    (brax_wrappers.py:317-321)."""
+
+    def __init__(self, env: Environment):
+        super().__init__(env)
+        self.reset = jax.vmap(self._env.reset, in_axes=(0, None))
+        self.step = jax.vmap(self._env.step, in_axes=(0, 0, 0, None))
+
+
+@struct.dataclass
+class NormalizeVecObsState:
+    mean: jax.Array
+    var: jax.Array
+    count: jax.Array
+    env_state: Any
+
+
+class NormalizeVecObservation(Wrapper):
+    """Running-mean/var observation normalization over the env batch using
+    Welford/parallel-variance updates (brax_wrappers.py:335-508). Wraps a
+    *vectorized* env (VecEnv/BatchEnv)."""
+
+    def reset(self, key, params=None):
+        obs, env_state = self._env.reset(key, params)
+        state = NormalizeVecObsState(
+            mean=jnp.zeros_like(obs[0]),
+            var=jnp.ones_like(obs[0]),
+            count=jnp.asarray(1e-4),
+            env_state=env_state,
+        )
+        state, norm_obs = self._update_and_normalize(state, obs)
+        return norm_obs, state
+
+    def step(self, key, state, action, params=None):
+        obs, env_state, reward, done, info = self._env.step(
+            key, state.env_state, action, params
+        )
+        state = state.replace(env_state=env_state)
+        state, norm_obs = self._update_and_normalize(state, obs)
+        return norm_obs, state, reward, done, info
+
+    def eval_step(self, key, state, action, params=None):
+        """Normalize with frozen statistics (brax_wrappers.py:488-508)."""
+        obs, env_state, reward, done, info = self._env.step(
+            key, state.env_state, action, params
+        )
+        state = state.replace(env_state=env_state)
+        norm_obs = (obs - state.mean) / jnp.sqrt(state.var + 1e-8)
+        return norm_obs, state, reward, done, info
+
+    @staticmethod
+    def _update_and_normalize(state, obs):
+        batch_mean = obs.mean(axis=0)
+        batch_var = obs.var(axis=0)
+        batch_count = obs.shape[0]
+
+        delta = batch_mean - state.mean
+        tot_count = state.count + batch_count
+        new_mean = state.mean + delta * batch_count / tot_count
+        m_a = state.var * state.count
+        m_b = batch_var * batch_count
+        m2 = m_a + m_b + jnp.square(delta) * state.count * batch_count / tot_count
+        new_var = m2 / tot_count
+
+        state = state.replace(mean=new_mean, var=new_var, count=tot_count)
+        return state, (obs - new_mean) / jnp.sqrt(new_var + 1e-8)
+
+
+@struct.dataclass
+class NormalizeVecRewState:
+    mean: jax.Array
+    var: jax.Array
+    count: jax.Array
+    return_val: jax.Array
+    env_state: Any
+
+
+class NormalizeVecReward(Wrapper):
+    """Normalize rewards by the running std of the discounted return
+    (brax_wrappers.py:520-566). Wraps a vectorized env."""
+
+    def __init__(self, env: Environment, gamma: float):
+        super().__init__(env)
+        self.gamma = gamma
+
+    def reset(self, key, params=None):
+        obs, env_state = self._env.reset(key, params)
+        batch_count = obs.shape[0]
+        state = NormalizeVecRewState(
+            mean=jnp.asarray(0.0),
+            var=jnp.asarray(1.0),
+            count=jnp.asarray(1e-4),
+            return_val=jnp.zeros((batch_count,)),
+            env_state=env_state,
+        )
+        return obs, state
+
+    def step(self, key, state, action, params=None):
+        obs, env_state, reward, done, info = self._env.step(
+            key, state.env_state, action, params
+        )
+        return_val = state.return_val * self.gamma * (1 - done) + reward
+
+        batch_mean = return_val.mean()
+        batch_var = return_val.var()
+        batch_count = return_val.shape[0]
+
+        delta = batch_mean - state.mean
+        tot_count = state.count + batch_count
+        new_mean = state.mean + delta * batch_count / tot_count
+        m_a = state.var * state.count
+        m_b = batch_var * batch_count
+        m2 = m_a + m_b + jnp.square(delta) * state.count * batch_count / tot_count
+        new_var = m2 / tot_count
+
+        state = NormalizeVecRewState(
+            mean=new_mean,
+            var=new_var,
+            count=tot_count,
+            return_val=return_val,
+            env_state=env_state,
+        )
+        return obs, state, reward / jnp.sqrt(new_var + 1e-8), done, info
+
+
+@struct.dataclass
+class LogVecState:
+    env_state: Any
+    episode_returns: jax.Array
+    episode_lengths: jax.Array
+    returned_episode_returns: jax.Array
+    returned_episode_lengths: jax.Array
+    timestep: jax.Array
+
+
+class LogVec(Wrapper):
+    """Batched episode accounting; also exposes the raw reward as
+    `original_reward` so downstream reward transforms stay observable
+    (brax_wrappers.py:579-629)."""
+
+    def reset(self, key, params=None):
+        obs, env_state = self._env.reset(key, params)
+        n = jax.tree_util.tree_leaves(obs)[0].shape[0]
+        state = LogVecState(
+            env_state=env_state,
+            episode_returns=jnp.zeros((n,)),
+            episode_lengths=jnp.zeros((n,), jnp.int32),
+            returned_episode_returns=jnp.zeros((n,)),
+            returned_episode_lengths=jnp.zeros((n,), jnp.int32),
+            timestep=jnp.asarray(0, jnp.int32),
+        )
+        return obs, state
+
+    def step(self, key, state, action, params=None):
+        obs, env_state, reward, done, info = self._env.step(
+            key, state.env_state, action, params
+        )
+        new_episode_return = state.episode_returns + reward
+        new_episode_length = state.episode_lengths + 1
+        not_done = 1 - done
+        state = LogVecState(
+            env_state=env_state,
+            episode_returns=new_episode_return * not_done,
+            episode_lengths=new_episode_length * not_done.astype(jnp.int32),
+            returned_episode_returns=state.returned_episode_returns * not_done
+            + new_episode_return * done,
+            returned_episode_lengths=state.returned_episode_lengths
+            * not_done.astype(jnp.int32)
+            + new_episode_length * done.astype(jnp.int32),
+            timestep=state.timestep + 1,
+        )
+        info = dict(info)
+        info["returned_episode_returns"] = state.returned_episode_returns
+        info["returned_episode_lengths"] = state.returned_episode_lengths
+        info["returned_episode"] = done
+        info["timestep"] = jnp.broadcast_to(state.timestep, done.shape)
+        info["original_reward"] = reward
+        return obs, state, reward, done, info

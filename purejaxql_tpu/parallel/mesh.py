@@ -1,0 +1,57 @@
+"""Mesh construction and multi-host initialization.
+
+The reference is single-process single-device (SURVEY.md §2: no
+pmap/psum/sharding anywhere); this module is the net-new TPU scaling layer.
+Axis convention:
+
+- "env"  — the env/data-parallel axis. Environments, rollouts and learn
+           minibatches shard along it; gradients and batch-norm statistics
+           reduce over it. On a pod slice this axis should map onto ICI.
+- "seed" — optional independent-replica axis for parallel seeds: no
+           communication crosses it (each seed is an isolated experiment).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed for multi-host pods. Falls back to a
+    no-op for single-process runs (no coordinator discoverable)."""
+    if coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run
+
+
+def make_mesh(
+    env: Optional[int] = None,
+    seed: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (seed, env) mesh over the given (default: all) devices.
+
+    `env=None` uses all remaining devices for the env axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if env is None:
+        assert n % seed == 0, f"{n} devices not divisible by seed={seed}"
+        env = n // seed
+    assert seed * env == n, f"mesh {seed}x{env} != {n} devices"
+    dev_array = np.asarray(devices).reshape(seed, env)
+    return Mesh(dev_array, axis_names=("seed", "env"))
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
