@@ -64,13 +64,24 @@ def _populate():
 
 
 def make(env_name: str, **env_kwargs) -> Tuple[Environment, object]:
+    """Build (env, params). Keyword args matching fields of the env's
+    param dataclass override the defaults (gymnax-style ENV_KWARGS);
+    remaining kwargs go to the env constructor."""
     _populate()
     if env_name not in _REGISTRY:
         raise ValueError(
             f"Unknown env '{env_name}'. Registered: {sorted(_REGISTRY)}"
         )
-    env = _REGISTRY[env_name](**env_kwargs)
-    return env, env.default_params
+    ctor = _REGISTRY[env_name]
+    probe_params = ctor().default_params
+    param_fields = set(getattr(probe_params, "__dataclass_fields__", {}))
+    param_kwargs = {k: v for k, v in env_kwargs.items() if k in param_fields}
+    ctor_kwargs = {k: v for k, v in env_kwargs.items() if k not in param_fields}
+    env = ctor(**ctor_kwargs)
+    params = env.default_params
+    if param_kwargs:
+        params = params.replace(**param_kwargs)
+    return env, params
 
 
 def registered_envs():
