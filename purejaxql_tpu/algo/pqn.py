@@ -52,7 +52,10 @@ def build_env(config):
       craftax-script convention (pqn_craftax.py:96-114).
     - BATCH_ENV: Log(raw) inside BatchEnv (internal key splitting).
     """
-    env, env_params = make_env(config["ENV_NAME"], **config.get("ENV_KWARGS", {}))
+    env_kwargs = dict(config.get("ENV_KWARGS") or {})
+    if config.get("LOG_ACHIEVEMENTS", False):
+        env_kwargs["log_achievements"] = True
+    env, env_params = make_env(config["ENV_NAME"], **env_kwargs)
     obs_shape = env.observation_space(env_params).shape
     flatten = config.get("FLATTEN_OBS", len(obs_shape) == 1 or config.get("ARCH") == "mlp")
 
@@ -338,7 +341,17 @@ def make_train(
                 "td_loss": loss.mean(),
                 "qvals": qvals.mean(),
             }
-            metrics.update({k: v.mean() for k, v in infos.items()})
+            if config.get("DONE_MASKED_INFO_METRICS", False):
+                # report info values at episode ends only (weighted mean by
+                # returned_episode), the craftax-script convention
+                # (pqn_craftax.py:364-369)
+                re = infos["returned_episode"].astype(jnp.float32)
+                denom = jnp.maximum(re.sum(), 1.0)
+                metrics.update(
+                    {k: (v * re).sum() / denom for k, v in infos.items()}
+                )
+            else:
+                metrics.update({k: v.mean() for k, v in infos.items()})
             if pmap_axis is not None:
                 metrics = jax.lax.pmean(metrics, pmap_axis)
 

@@ -1,0 +1,555 @@
+"""Forager: a craftax-class open-world survival/crafting environment in
+pure JAX.
+
+This is the framework's in-tree counterpart of the Craftax/Crafter family
+the reference trains on (`ENV_NAME: Craftax-Symbolic-v1`,
+/root/reference/purejaxql/config/alg/pqn_craftax.yaml): procedurally
+generated worlds (expensive resets -> pairs with OptimisticResetVecEnv),
+resource gathering gated by tool tiers, crafting at stations, hunger /
+thirst / energy / health survival dynamics, day-night cycles with hostile
+mobs, and a 22-achievement reward structure (+1 on each first-time
+achievement per episode, +-0.1 per health point gained/lost).
+
+Observations are symbolic (craftax-symbolic-style): a flattened float32
+vector of a 9x9 one-hot local block/mob view plus inventory, needs,
+facing, time-of-day and sleep state — 1400 dims. 17 discrete actions
+(noop, 4 moves, do, sleep, 4 places, 6 crafts).
+
+Everything is branchless jnp.where logic over static-shape arrays: the
+whole step is a handful of fused gather/compare ops, and worlds vmap to
+thousands of parallel instances.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from purejaxql_tpu.envs import spaces
+from purejaxql_tpu.envs.base import Environment
+from purejaxql_tpu.envs.gridworld import worldgen as W
+
+N_COWS = 8
+N_ZOMBIES = 8
+N_SKELETONS = 4
+
+ACHIEVEMENTS = [
+    "collect_wood", "place_table", "eat_cow", "collect_sapling",
+    "collect_drink", "make_wood_pickaxe", "make_wood_sword", "place_plant",
+    "defeat_zombie", "collect_stone", "place_stone", "eat_plant",
+    "defeat_skeleton", "collect_coal", "make_stone_pickaxe",
+    "make_stone_sword", "wake_up", "place_furnace", "collect_iron",
+    "make_iron_pickaxe", "make_iron_sword", "collect_diamond",
+]
+NUM_ACHIEVEMENTS = len(ACHIEVEMENTS)
+_ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
+
+# inventory slots
+INV = {
+    "wood": 0, "stone": 1, "coal": 2, "iron": 3, "diamond": 4, "sapling": 5,
+    "wood_pickaxe": 6, "stone_pickaxe": 7, "iron_pickaxe": 8,
+    "wood_sword": 9, "stone_sword": 10, "iron_sword": 11,
+}
+NUM_INV = 12
+
+# actions
+A_NOOP, A_LEFT, A_RIGHT, A_UP, A_DOWN, A_DO, A_SLEEP = range(7)
+A_PLACE_STONE, A_PLACE_TABLE, A_PLACE_FURNACE, A_PLACE_PLANT = 7, 8, 9, 10
+A_MAKE_WP, A_MAKE_SP, A_MAKE_IP, A_MAKE_WS, A_MAKE_SS, A_MAKE_IS = range(11, 17)
+NUM_ACTIONS = 17
+
+# direction vectors: 0 up, 1 right, 2 down, 3 left (dy, dx)
+_DIRS = jnp.array([[-1, 0], [0, 1], [1, 0], [0, -1]])
+
+_WALKABLE = jnp.zeros(W.NUM_BLOCK_TYPES, bool).at[
+    jnp.array([W.GRASS, W.SAND, W.PATH, W.SAPLING, W.PLANT_RIPE])
+].set(True)
+_PLACEABLE = jnp.zeros(W.NUM_BLOCK_TYPES, bool).at[
+    jnp.array([W.GRASS, W.SAND, W.PATH])
+].set(True)
+
+VIEW = 9  # local obs window
+OBS_DIM = VIEW * VIEW * (W.NUM_BLOCK_TYPES + 3) + NUM_INV + 4 + 4 + 2 + 1
+
+
+@struct.dataclass
+class ForagerState:
+    blocks: jax.Array          # (48, 48) int32
+    growth: jax.Array          # (48, 48) int32 sapling growth timers
+    pos: jax.Array             # (2,) int32 (y, x)
+    facing: jax.Array          # int32 0..3
+    health: jax.Array
+    food: jax.Array
+    drink: jax.Array
+    energy: jax.Array
+    hunger: jax.Array          # accumulators
+    thirst: jax.Array
+    fatigue: jax.Array
+    decay_tick: jax.Array
+    regen_tick: jax.Array
+    sleeping: jax.Array
+    inventory: jax.Array       # (12,) int32
+    achievements: jax.Array    # (22,) bool
+    cow_pos: jax.Array         # (N_COWS, 2)
+    cow_alive: jax.Array
+    cow_health: jax.Array
+    zombie_pos: jax.Array
+    zombie_alive: jax.Array
+    zombie_health: jax.Array
+    skel_pos: jax.Array
+    skel_alive: jax.Array
+    skel_health: jax.Array
+    time: jax.Array
+    terminal: jax.Array
+
+
+@struct.dataclass
+class ForagerParams:
+    day_length: int = struct.field(pytree_node=False, default=300)
+    growth_time: int = struct.field(pytree_node=False, default=60)
+    max_steps_in_episode: int = struct.field(pytree_node=False, default=10000)
+
+
+class Forager(Environment):
+    def __init__(self, log_achievements: bool = False):
+        # Per-achievement info keys (22 extra scalars per step) are opt-in,
+        # mirroring the reference's LOG_ACHIEVEMENTS flag
+        # (pqn_craftax.py:384-387).
+        self.log_achievements = log_achievements
+
+    @property
+    def default_params(self) -> ForagerParams:
+        return ForagerParams()
+
+    @property
+    def name(self) -> str:
+        return "Forager-v0"
+
+    # ------------------------------------------------------------------
+    def reset_env(self, key, params):
+        k_world, k_cow, k_skel = jax.random.split(key, 3)
+        blocks = W.generate_world(k_world)
+        c = W.WORLD_SIZE // 2
+
+        # cows on random tiles (prefer grass via rejection-free weighting)
+        cow_pos = jax.random.randint(k_cow, (N_COWS, 2), 4, W.WORLD_SIZE - 4)
+        on_grass = blocks[cow_pos[:, 0], cow_pos[:, 1]] == W.GRASS
+        skel_pos = jax.random.randint(k_skel, (N_SKELETONS, 2), 2, W.WORLD_SIZE - 2)
+        on_stone = blocks[skel_pos[:, 0], skel_pos[:, 1]] == W.STONE
+
+        state = ForagerState(
+            blocks=blocks,
+            growth=jnp.zeros_like(blocks),
+            pos=jnp.array([c, c], jnp.int32),
+            facing=jnp.asarray(2, jnp.int32),
+            health=jnp.asarray(9, jnp.int32),
+            food=jnp.asarray(9, jnp.int32),
+            drink=jnp.asarray(9, jnp.int32),
+            energy=jnp.asarray(9, jnp.int32),
+            hunger=jnp.asarray(0, jnp.int32),
+            thirst=jnp.asarray(0, jnp.int32),
+            fatigue=jnp.asarray(0, jnp.int32),
+            decay_tick=jnp.asarray(0, jnp.int32),
+            regen_tick=jnp.asarray(0, jnp.int32),
+            sleeping=jnp.asarray(False),
+            inventory=jnp.zeros(NUM_INV, jnp.int32),
+            achievements=jnp.zeros(NUM_ACHIEVEMENTS, bool),
+            cow_pos=cow_pos.astype(jnp.int32),
+            cow_alive=on_grass,
+            cow_health=jnp.full(N_COWS, 3, jnp.int32),
+            zombie_pos=jnp.zeros((N_ZOMBIES, 2), jnp.int32),
+            zombie_alive=jnp.zeros(N_ZOMBIES, bool),
+            zombie_health=jnp.full(N_ZOMBIES, 5, jnp.int32),
+            skel_pos=skel_pos.astype(jnp.int32),
+            skel_alive=on_stone,
+            skel_health=jnp.full(N_SKELETONS, 3, jnp.int32),
+            time=jnp.asarray(0, jnp.int32),
+            terminal=jnp.asarray(False),
+        )
+        return self.get_obs(state, params), state
+
+    # ------------------------------------------------------------------
+    def step_env(self, key, state, action, params):
+        k_do, k_cow, k_zspawn, k_zmove, k_skel = jax.random.split(key, 5)
+        old_health = state.health
+        ach = state.achievements
+        inv = state.inventory
+        blocks = state.blocks
+
+        sleeping = jnp.logical_and(state.sleeping, action == A_NOOP)
+
+        # ---- movement / facing ---------------------------------------
+        is_move = jnp.logical_and(action >= A_LEFT, action <= A_DOWN)
+        move_dir = jnp.where(
+            action == A_UP, 0,
+            jnp.where(action == A_RIGHT, 1,
+                      jnp.where(action == A_DOWN, 2, 3)),
+        )
+        facing = jnp.where(is_move, move_dir, state.facing)
+        step_vec = _DIRS[facing]
+        new_pos = jnp.clip(state.pos + step_vec, 0, W.WORLD_SIZE - 1)
+        target_walkable = _WALKABLE[blocks[new_pos[0], new_pos[1]]]
+        pos = jnp.where(jnp.logical_and(is_move, target_walkable), new_pos, state.pos)
+
+        # facing target tile
+        tgt = jnp.clip(pos + _DIRS[facing], 0, W.WORLD_SIZE - 1)
+        ty, tx = tgt[0], tgt[1]
+        tblock = blocks[ty, tx]
+
+        # ---- mob lookups at the target tile --------------------------
+        def at_tgt(mob_pos, mob_alive):
+            return jnp.logical_and(
+                mob_alive,
+                jnp.logical_and(mob_pos[:, 0] == ty, mob_pos[:, 1] == tx),
+            )
+
+        cow_here = at_tgt(state.cow_pos, state.cow_alive)
+        zom_here = at_tgt(state.zombie_pos, state.zombie_alive)
+        skel_here = at_tgt(state.skel_pos, state.skel_alive)
+        any_mob = cow_here.any() | zom_here.any() | skel_here.any()
+
+        # ---- DO action ----------------------------------------------
+        do = jnp.logical_and(action == A_DO, jnp.logical_not(sleeping))
+        sword = 1 + inv[INV["wood_sword"]] + inv[INV["stone_sword"]] * 2 + inv[
+            INV["iron_sword"]
+        ] * 3  # damage 1..7
+
+        # combat (mob on target tile takes priority over the block)
+        def hit(mob_health, here, damage):
+            return jnp.where(here & do, mob_health - damage, mob_health)
+
+        cow_health = hit(state.cow_health, cow_here, sword)
+        zombie_health = hit(state.zombie_health, zom_here, sword)
+        skel_health = hit(state.skel_health, skel_here, sword)
+        cow_killed = jnp.logical_and(cow_here & do, cow_health <= 0)
+        zom_killed = jnp.logical_and(zom_here & do, zombie_health <= 0)
+        skel_killed = jnp.logical_and(skel_here & do, skel_health <= 0)
+        cow_alive = jnp.logical_and(state.cow_alive, ~cow_killed)
+        zombie_alive = jnp.logical_and(state.zombie_alive, ~zom_killed)
+        skel_alive = jnp.logical_and(state.skel_alive, ~skel_killed)
+
+        food = jnp.where(cow_killed.any(), jnp.minimum(state.food + 6, 9), state.food)
+        ach = ach.at[_ACH["eat_cow"]].set(ach[_ACH["eat_cow"]] | cow_killed.any())
+        ach = ach.at[_ACH["defeat_zombie"]].set(
+            ach[_ACH["defeat_zombie"]] | zom_killed.any()
+        )
+        ach = ach.at[_ACH["defeat_skeleton"]].set(
+            ach[_ACH["defeat_skeleton"]] | skel_killed.any()
+        )
+
+        do_block = jnp.logical_and(do, jnp.logical_not(any_mob))
+
+        def collect(cond, item, amount=1):
+            return jnp.where(cond, inv.at[INV[item]].add(amount), inv)
+
+        has_wp = inv[INV["wood_pickaxe"]] > 0
+        has_sp = inv[INV["stone_pickaxe"]] > 0
+        has_ip = inv[INV["iron_pickaxe"]] > 0
+
+        got_wood = do_block & (tblock == W.TREE)
+        got_drink = do_block & (tblock == W.WATER)
+        sap_roll = jax.random.uniform(k_do) < 0.1
+        got_sapling = do_block & (tblock == W.GRASS) & sap_roll
+        got_stone = do_block & (tblock == W.STONE) & has_wp
+        got_coal = do_block & (tblock == W.COAL) & has_wp
+        got_iron = do_block & (tblock == W.IRON) & has_sp
+        got_diamond = do_block & (tblock == W.DIAMOND) & has_ip
+        ate_plant = do_block & (tblock == W.PLANT_RIPE)
+
+        inv = collect(got_wood, "wood")
+        inv = collect(got_sapling, "sapling")
+        inv = collect(got_stone, "stone")
+        inv = collect(got_coal, "coal")
+        inv = collect(got_iron, "iron")
+        inv = collect(got_diamond, "diamond")
+        drink = jnp.where(got_drink, jnp.minimum(state.drink + 3, 9), state.drink)
+        food = jnp.where(ate_plant, jnp.minimum(food + 4, 9), food)
+
+        mined = got_stone | got_coal | got_iron | got_diamond
+        blocks = jnp.where(
+            mined, blocks.at[ty, tx].set(W.PATH), blocks
+        )
+        blocks = jnp.where(
+            ate_plant, blocks.at[ty, tx].set(W.SAPLING), blocks
+        )
+        growth = jnp.where(
+            ate_plant, state.growth.at[ty, tx].set(0), state.growth
+        )
+
+        for cond, name in [
+            (got_wood, "collect_wood"), (got_drink, "collect_drink"),
+            (got_sapling, "collect_sapling"), (got_stone, "collect_stone"),
+            (got_coal, "collect_coal"), (got_iron, "collect_iron"),
+            (got_diamond, "collect_diamond"), (ate_plant, "eat_plant"),
+        ]:
+            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | cond)
+
+        # ---- PLACE actions ------------------------------------------
+        placeable = _PLACEABLE[tblock] & jnp.logical_not(any_mob)
+
+        def place(act, block_id, cost_item, cost_n, name, need_grass=False):
+            nonlocal blocks, inv, ach
+            ok = (
+                (action == act)
+                & placeable
+                & (inv[INV[cost_item]] >= cost_n)
+                & (jnp.logical_not(need_grass) | (tblock == W.GRASS))
+            )
+            blocks = jnp.where(ok, blocks.at[ty, tx].set(block_id), blocks)
+            inv = jnp.where(ok, inv.at[INV[cost_item]].add(-cost_n), inv)
+            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | ok)
+            return ok
+
+        place(A_PLACE_STONE, W.STONE, "stone", 1, "place_stone")
+        place(A_PLACE_TABLE, W.TABLE, "wood", 2, "place_table")
+        place(A_PLACE_FURNACE, W.FURNACE, "stone", 2, "place_furnace")
+        placed_plant = place(
+            A_PLACE_PLANT, W.SAPLING, "sapling", 1, "place_plant", need_grass=True
+        )
+        growth = jnp.where(placed_plant, growth.at[ty, tx].set(0), growth)
+
+        # ---- CRAFT actions ------------------------------------------
+        py, px = pos[0], pos[1]
+        y0 = jnp.clip(py - 1, 0, W.WORLD_SIZE - 3)
+        x0 = jnp.clip(px - 1, 0, W.WORLD_SIZE - 3)
+        around = jax.lax.dynamic_slice(blocks, (y0, x0), (3, 3))
+        near_table = (around == W.TABLE).any()
+        near_furnace = (around == W.FURNACE).any()
+
+        def craft(act, out_item, costs, name, need_furnace=False):
+            nonlocal inv, ach
+            ok = (
+                (action == act)
+                & near_table
+                & (jnp.logical_not(need_furnace) | near_furnace)
+                & (inv[INV[out_item]] == 0)
+            )
+            for item, n in costs:
+                ok = ok & (inv[INV[item]] >= n)
+            for item, n in costs:
+                inv = jnp.where(ok, inv.at[INV[item]].add(-n), inv)
+            inv = jnp.where(ok, inv.at[INV[out_item]].set(1), inv)
+            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | ok)
+
+        craft(A_MAKE_WP, "wood_pickaxe", [("wood", 1)], "make_wood_pickaxe")
+        craft(A_MAKE_SP, "stone_pickaxe", [("wood", 1), ("stone", 1)],
+              "make_stone_pickaxe")
+        craft(A_MAKE_IP, "iron_pickaxe",
+              [("wood", 1), ("coal", 1), ("iron", 1)],
+              "make_iron_pickaxe", need_furnace=True)
+        craft(A_MAKE_WS, "wood_sword", [("wood", 1)], "make_wood_sword")
+        craft(A_MAKE_SS, "stone_sword", [("wood", 1), ("stone", 1)],
+              "make_stone_sword")
+        craft(A_MAKE_IS, "iron_sword",
+              [("wood", 1), ("coal", 1), ("iron", 1)],
+              "make_iron_sword", need_furnace=True)
+
+        # ---- plant growth -------------------------------------------
+        is_sapling = blocks == W.SAPLING
+        growth = jnp.where(is_sapling, growth + 1, 0)
+        ripe = is_sapling & (growth >= params.growth_time)
+        blocks = jnp.where(ripe, W.PLANT_RIPE, blocks)
+
+        # ---- day/night + sleep --------------------------------------
+        t = state.time + 1
+        is_night = (t % params.day_length) >= (params.day_length // 2)
+        wants_sleep = action == A_SLEEP
+        sleeping = jnp.where(wants_sleep & is_night, True, sleeping)
+        woke = jnp.logical_and(state.sleeping, jnp.logical_not(is_night))
+        sleeping = jnp.where(woke, False, sleeping)
+        ach = ach.at[_ACH["wake_up"]].set(ach[_ACH["wake_up"]] | woke)
+
+        # ---- needs decay / regen ------------------------------------
+        hunger = state.hunger + 1
+        thirst = state.thirst + 1
+        fatigue = jnp.where(sleeping, 0, state.fatigue + 1)
+        food = jnp.where(hunger >= 25, jnp.maximum(food - 1, 0), food)
+        hunger = jnp.where(hunger >= 25, 0, hunger)
+        drink = jnp.where(thirst >= 20, jnp.maximum(drink - 1, 0), drink)
+        thirst = jnp.where(thirst >= 20, 0, thirst)
+        energy = jnp.where(
+            fatigue >= 30, jnp.maximum(state.energy - 1, 0), state.energy
+        )
+        fatigue = jnp.where(fatigue >= 30, 0, fatigue)
+        energy = jnp.where(
+            sleeping & (t % 2 == 0), jnp.minimum(energy + 1, 9), energy
+        )
+
+        any_zero = (food == 0) | (drink == 0) | (energy == 0)
+        decay_tick = jnp.where(any_zero, state.decay_tick + 1, 0)
+        health = jnp.where(
+            decay_tick >= 10, jnp.maximum(state.health - 1, 0), state.health
+        )
+        decay_tick = jnp.where(decay_tick >= 10, 0, decay_tick)
+        regen_tick = jnp.where(~any_zero, state.regen_tick + 1, 0)
+        health = jnp.where(
+            (regen_tick >= 30) & (health < 9), health + 1, health
+        )
+        regen_tick = jnp.where(regen_tick >= 30, 0, regen_tick)
+
+        # ---- mob behavior -------------------------------------------
+        def random_walk(k, mob_pos, alive, p):
+            ks = jax.random.split(k, 2)
+            dirs = jax.random.randint(ks[0], (mob_pos.shape[0],), 0, 4)
+            move = jax.random.uniform(ks[1], (mob_pos.shape[0],)) < p
+            step = _DIRS[dirs]
+            cand = jnp.clip(mob_pos + step, 0, W.WORLD_SIZE - 1)
+            ok = _WALKABLE[blocks[cand[:, 0], cand[:, 1]]] & move & alive
+            return jnp.where(ok[:, None], cand, mob_pos)
+
+        cow_pos = random_walk(k_cow, state.cow_pos, cow_alive, 0.3)
+
+        # zombies: spawn at night near the player, despawn at day
+        zk1, zk2 = jax.random.split(k_zspawn)
+        spawn_offsets = jax.random.randint(zk1, (N_ZOMBIES, 2), -8, 9)
+        far_enough = jnp.abs(spawn_offsets).sum(axis=1) >= 5
+        spawn_pos = jnp.clip(pos + spawn_offsets, 0, W.WORLD_SIZE - 1)
+        spawn_ok = (
+            is_night
+            & ~zombie_alive
+            & far_enough
+            & (jax.random.uniform(zk2, (N_ZOMBIES,)) < 0.05)
+            & _WALKABLE[blocks[spawn_pos[:, 0], spawn_pos[:, 1]]]
+        )
+        zombie_pos = jnp.where(spawn_ok[:, None], spawn_pos, state.zombie_pos)
+        zombie_alive = zombie_alive | spawn_ok
+        zombie_health = jnp.where(spawn_ok, 5, zombie_health)
+        zombie_alive = jnp.logical_and(zombie_alive, is_night)  # day despawn
+
+        # zombies chase
+        delta = pos[None, :] - zombie_pos
+        step_y = jnp.sign(delta[:, 0])
+        step_x = jnp.sign(delta[:, 1])
+        go_y = jnp.abs(delta[:, 0]) >= jnp.abs(delta[:, 1])
+        chase = jnp.stack(
+            [jnp.where(go_y, step_y, 0), jnp.where(go_y, 0, step_x)], axis=1
+        ).astype(jnp.int32)
+        zcand = jnp.clip(zombie_pos + chase, 0, W.WORLD_SIZE - 1)
+        zmove = jax.random.uniform(k_zmove, (N_ZOMBIES,)) < 0.7
+        zok = _WALKABLE[blocks[zcand[:, 0], zcand[:, 1]]] & zmove & zombie_alive
+        zombie_pos = jnp.where(zok[:, None], zcand, zombie_pos)
+
+        skel_pos = random_walk(k_skel, state.skel_pos, skel_alive, 0.2)
+
+        # mob melee damage (adjacent, every other step; worse when asleep)
+        def adjacent(mob_pos, alive):
+            d = jnp.abs(mob_pos - pos[None, :]).sum(axis=1)
+            return jnp.logical_and(alive, d <= 1)
+
+        z_adj = adjacent(zombie_pos, zombie_alive).any()
+        s_adj = adjacent(skel_pos, skel_alive).any()
+        dmg = jnp.where(
+            (z_adj | s_adj) & (t % 2 == 0),
+            jnp.where(sleeping, 2, 1),
+            0,
+        )
+        health = jnp.maximum(health - dmg, 0)
+
+        # ---- reward / termination -----------------------------------
+        new_ach = jnp.logical_and(ach, jnp.logical_not(state.achievements))
+        reward = (
+            new_ach.sum().astype(jnp.float32)
+            + 0.1 * (health - old_health).astype(jnp.float32)
+        )
+        terminal = health <= 0
+
+        new_state = ForagerState(
+            blocks=blocks, growth=growth, pos=pos, facing=facing,
+            health=health, food=food, drink=drink, energy=energy,
+            hunger=hunger, thirst=thirst, fatigue=fatigue,
+            decay_tick=decay_tick, regen_tick=regen_tick,
+            sleeping=sleeping, inventory=inv, achievements=ach,
+            cow_pos=cow_pos, cow_alive=cow_alive, cow_health=cow_health,
+            zombie_pos=zombie_pos, zombie_alive=zombie_alive,
+            zombie_health=zombie_health,
+            skel_pos=skel_pos, skel_alive=skel_alive, skel_health=skel_health,
+            time=t, terminal=terminal,
+        )
+        done = self.is_terminal(new_state, params)
+        info = {"achievement_count": ach.sum().astype(jnp.float32)}
+        if self.log_achievements:
+            info.update(
+                {
+                    f"achievements/{name}": ach[i].astype(jnp.float32)
+                    for i, name in enumerate(ACHIEVEMENTS)
+                }
+            )
+        return (
+            jax.lax.stop_gradient(self.get_obs(new_state, params)),
+            jax.lax.stop_gradient(new_state),
+            reward,
+            done,
+            info,
+        )
+
+    # ------------------------------------------------------------------
+    def get_obs(self, state: ForagerState, params) -> jax.Array:
+        half = VIEW // 2
+        pad = half
+        padded = jnp.pad(
+            state.blocks, pad, constant_values=W.INVALID
+        )
+        y0 = state.pos[0]
+        x0 = state.pos[1]
+        window = jax.lax.dynamic_slice(padded, (y0, x0), (VIEW, VIEW))
+        block_onehot = jax.nn.one_hot(window, W.NUM_BLOCK_TYPES)
+
+        def mob_channel(mob_pos, alive):
+            rel = mob_pos - state.pos[None, :] + half
+            in_view = (
+                alive
+                & (rel[:, 0] >= 0) & (rel[:, 0] < VIEW)
+                & (rel[:, 1] >= 0) & (rel[:, 1] < VIEW)
+            )
+            ch = jnp.zeros((VIEW, VIEW))
+            ch = ch.at[
+                jnp.clip(rel[:, 0], 0, VIEW - 1),
+                jnp.clip(rel[:, 1], 0, VIEW - 1),
+            ].max(in_view.astype(jnp.float32))
+            return ch
+
+        mobs = jnp.stack(
+            [
+                mob_channel(state.cow_pos, state.cow_alive),
+                mob_channel(state.zombie_pos, state.zombie_alive),
+                mob_channel(state.skel_pos, state.skel_alive),
+            ],
+            axis=-1,
+        )
+        grid = jnp.concatenate([block_onehot, mobs], axis=-1).reshape(-1)
+
+        day_frac = (state.time % params.day_length) / params.day_length
+        extras = jnp.concatenate(
+            [
+                state.inventory.astype(jnp.float32) / 9.0,
+                jnp.array(
+                    [
+                        state.health / 9.0,
+                        state.food / 9.0,
+                        state.drink / 9.0,
+                        state.energy / 9.0,
+                    ]
+                ),
+                jax.nn.one_hot(state.facing, 4),
+                jnp.array(
+                    [
+                        jnp.sin(2 * jnp.pi * day_frac),
+                        jnp.cos(2 * jnp.pi * day_frac),
+                    ]
+                ),
+                state.sleeping.astype(jnp.float32)[None],
+            ]
+        )
+        return jnp.concatenate([grid, extras]).astype(jnp.float32)
+
+    def is_terminal(self, state, params):
+        return jnp.logical_or(
+            state.terminal, state.time >= params.max_steps_in_episode
+        )
+
+    def observation_space(self, params):
+        return spaces.Box(-1.0, 1.0, (OBS_DIM,), jnp.float32)
+
+    def action_space(self, params=None):
+        return spaces.Discrete(NUM_ACTIONS)

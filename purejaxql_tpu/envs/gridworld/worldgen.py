@@ -1,0 +1,90 @@
+"""Procedural world generation for Forager (the craftax-class env).
+
+Terrain comes from bilinear-upsampled value noise — one coarse gaussian
+grid per octave, fully vectorized, so a whole batch of worlds generates as
+a few (B, H, W) tensor ops under vmap. Worldgen is deliberately the
+expensive part of reset (hundreds of times the cost of a step), which is
+exactly the regime the OptimisticResetVecEnv wrapper exists for
+(reference: utils/craftax_wrappers.py:83-148).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# block ids
+INVALID = 0
+WATER = 1
+SAND = 2
+GRASS = 3
+PATH = 4
+TREE = 5
+STONE = 6
+COAL = 7
+IRON = 8
+DIAMOND = 9
+TABLE = 10
+FURNACE = 11
+SAPLING = 12
+PLANT_RIPE = 13
+NUM_BLOCK_TYPES = 14
+
+WORLD_SIZE = 48
+
+
+def _value_noise(key: jax.Array, size: int, res: int) -> jax.Array:
+    """Bilinearly upsampled gaussian grid noise in roughly [-1, 1]."""
+    coarse = jax.random.normal(key, (res + 1, res + 1))
+    xs = jnp.linspace(0.0, res, size)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
+    frac = xs - x0
+    # interpolate rows then columns
+    top = coarse[x0][:, x0]
+    bottom = coarse[x0 + 1][:, x0]
+    right_top = coarse[x0][:, x0 + 1]
+    right_bottom = coarse[x0 + 1][:, x0 + 1]
+    fy = frac[:, None]
+    fx = frac[None, :]
+    v = (
+        top * (1 - fy) * (1 - fx)
+        + bottom * fy * (1 - fx)
+        + right_top * (1 - fy) * fx
+        + right_bottom * fy * fx
+    )
+    return v * 0.8
+
+
+def generate_world(key: jax.Array) -> jax.Array:
+    """Generate a WORLD_SIZE^2 block map: water/sand/grass plains with
+    forests, a stony highland seamed with coal/iron/diamond."""
+    k_elev, k_detail, k_trees, k_coal, k_iron, k_diam = jax.random.split(key, 6)
+
+    elev = _value_noise(k_elev, WORLD_SIZE, 6) + 0.5 * _value_noise(
+        k_detail, WORLD_SIZE, 12
+    )
+
+    blocks = jnp.full((WORLD_SIZE, WORLD_SIZE), GRASS, jnp.int32)
+    blocks = jnp.where(elev < -0.55, WATER, blocks)
+    blocks = jnp.where((elev >= -0.55) & (elev < -0.4), SAND, blocks)
+    highland = elev > 0.55
+
+    trees = jax.random.uniform(k_trees, (WORLD_SIZE, WORLD_SIZE)) < 0.12
+    blocks = jnp.where((blocks == GRASS) & trees & ~highland, TREE, blocks)
+
+    blocks = jnp.where(highland, STONE, blocks)
+    coal = jax.random.uniform(k_coal, (WORLD_SIZE, WORLD_SIZE)) < 0.10
+    iron = jax.random.uniform(k_iron, (WORLD_SIZE, WORLD_SIZE)) < 0.05
+    diamond = (jax.random.uniform(k_diam, (WORLD_SIZE, WORLD_SIZE)) < 0.02) & (
+        elev > 0.85
+    )
+    blocks = jnp.where(highland & coal, COAL, blocks)
+    blocks = jnp.where(highland & iron, IRON, blocks)
+    blocks = jnp.where(highland & diamond, DIAMOND, blocks)
+
+    # clear a spawn point at the center
+    c = WORLD_SIZE // 2
+    blocks = jax.lax.dynamic_update_slice(
+        blocks, jnp.full((3, 3), GRASS, jnp.int32), (c - 1, c - 1)
+    )
+    return blocks

@@ -1,0 +1,21 @@
+"""Multi-agent environments (jaxmarl-style protocol)."""
+
+from purejaxql_tpu.envs.marl.base import (
+    CTRolloutManager,
+    MARLLogWrapper,
+    MultiAgentEnv,
+)
+from purejaxql_tpu.envs.marl.spread import Spread
+
+_MARL_REGISTRY = {
+    "Spread-v0": Spread,
+    "simple_spread": Spread,
+}
+
+
+def make_marl(name: str, **kwargs) -> MultiAgentEnv:
+    if name not in _MARL_REGISTRY:
+        raise ValueError(
+            f"Unknown MARL env '{name}'. Registered: {sorted(_MARL_REGISTRY)}"
+        )
+    return _MARL_REGISTRY[name](**kwargs)
