@@ -1,0 +1,521 @@
+"""AC-PQN: DDPG-style actor-critic PQN for continuous control.
+
+Semantics follow the reference playground script
+(/root/reference/purejaxql/pqn_mujoco_playground.py): a deterministic tanh
+actor explored with a per-env Gaussian noise ladder (linspace of stds so a
+fixed fraction of envs always explores hard), an ensemble of NUM_CRITICS
+Q-critics (vmapped init + apply, mean-combined), Q(lambda) returns computed
+over ensemble-mean values by the same reverse scan, a Huber critic loss
+summed over ensemble members, and an actor loss of -meanQ plus a
+thresholded smooth-L1 penalty toward the behavior action (trust-region
+flavored). Optional 1-step TD path (USE_QLAMBDA=False) recomputes targets
+per-minibatch from next_obs/next_action.
+
+Env stack (built here from this package's wrappers, mirroring
+pqn_mujoco_playground.py:146-158): VecEnv -> LogVec -> ClipAction ->
+NormalizeVecReward? -> NormalizeVecObservation?.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from purejaxql_tpu.core.optim import make_optimizer
+from purejaxql_tpu.core.train_state import PQNTrainState
+from purejaxql_tpu.envs import make as make_env
+from purejaxql_tpu.envs import wrappers
+from purejaxql_tpu.models.actor_critic import Actor, Critic
+from purejaxql_tpu.utils.logging import MetricLogger
+
+
+@chex.dataclass(frozen=True)
+class ACTransition:
+    done: chex.Array
+    original_action: chex.Array
+    action: chex.Array
+    next_action: chex.Array
+    value: chex.Array
+    reward: chex.Array
+    obs: chex.Array
+    next_obs: chex.Array
+
+
+def smooth_l1_loss(pred, target, beta: float = 1.0):
+    diff = pred - target
+    abs_diff = jnp.abs(diff)
+    return jnp.where(abs_diff < beta, 0.5 * diff**2 / beta, abs_diff - 0.5 * beta)
+
+
+def build_ac_env(config):
+    env, env_params = make_env(config["ENV_NAME"], **(config.get("ENV_KWARGS") or {}))
+    aspace = env.action_space(env_params)
+    low = float(np.asarray(aspace.low).reshape(-1)[0])
+    high = float(np.asarray(aspace.high).reshape(-1)[0])
+    wrapped = wrappers.VecEnv(env)
+    wrapped = wrappers.LogVec(wrapped)
+    wrapped = wrappers.ClipAction(wrapped, low=low, high=high)
+    if config.get("NORMALIZE_REWARD", False):
+        wrapped = wrappers.NormalizeVecReward(wrapped, config["GAMMA"])
+    if config.get("NORMALIZE_OBS", False):
+        wrapped = wrappers.NormalizeVecObservation(wrapped)
+    return wrapped, env, env_params, low, high
+
+
+def make_train(
+    config: Dict[str, Any],
+    logger: Optional[MetricLogger] = None,
+    pmap_axis: Optional[str] = None,
+) -> Callable:
+    config = dict(config)
+    config["TOTAL_TIMESTEPS"] = int(float(config["TOTAL_TIMESTEPS"]))
+    config["NUM_UPDATES"] = (
+        config["TOTAL_TIMESTEPS"] // config["NUM_STEPS"] // config["NUM_ENVS"]
+    )
+    config["MINIBATCH_SIZE"] = (
+        config["NUM_ENVS"] * config["NUM_STEPS"] // config["NUM_MINIBATCHES"]
+    )
+
+    env, base_env, env_params, act_low, act_high = build_ac_env(config)
+    obs_shape = base_env.observation_space(env_params).shape
+    action_dim = base_env.action_space(env_params).shape[0]
+    config["TEST_NUM_STEPS"] = config.get(
+        "TEST_NUM_STEPS", getattr(env_params, "max_steps_in_episode", 1000)
+    )
+    if config.get("TEST_NUM_ENVS") is None:
+        config["TEST_NUM_ENVS"] = config["NUM_ENVS"]
+
+    lr_scheduler = optax.linear_schedule(
+        init_value=config["LR_START"],
+        end_value=config["LR_END"],
+        transition_steps=(config["NUM_UPDATES"] * config["LR_DECAY"])
+        * config["NUM_MINIBATCHES"]
+        * config["NUM_EPOCHS"],
+    )
+    lr = lr_scheduler if config.get("ANNEAL_LR", False) else config["LR_START"]
+    noise_scheduler = optax.linear_schedule(
+        init_value=config["NOISE_START"],
+        end_value=config["NOISE_FINISH"],
+        transition_steps=config["NOISE_DECAY"] * config["NUM_UPDATES"],
+    )
+
+    num_critics = config.get("NUM_CRITICS", 2)
+    rew_scale = config.get("REW_SCALE", 1.0)
+    timestep_scale = config.get("TIMESTEP_SCALE", 1)
+    metric_callback = logger.make_callback() if logger is not None else None
+    use_callback = config.get("LOG_VIA_CALLBACK", False)
+    collect_metrics = config.get("COLLECT_METRICS", True)
+
+    action_scale = jnp.asarray((act_high - act_low) / 2.0)
+    action_bias = jnp.asarray((act_high + act_low) / 2.0)
+
+    def train(rng: jax.Array):
+        original_rng = rng[0]
+
+        actor = Actor(
+            action_dim,
+            action_scale=action_scale,
+            action_bias=action_bias,
+            hidden_sizes=tuple(config["ACTOR_HIDDEN_SIZES"]),
+            activation=config.get("ACTIVATION", "relu"),
+            norm_type=config["NORM_TYPE"],
+            init_scale=config.get("ACTOR_INIT_SCALE", 1.0),
+            norm_axis_name=pmap_axis,
+        )
+        rng, _rng = jax.random.split(rng)
+        actor_variables = actor.init(_rng, jnp.zeros(obs_shape))
+
+        critic = Critic(
+            hidden_sizes=tuple(config["CRITIC_HIDDEN_SIZES"]),
+            norm_type=config["NORM_TYPE"],
+            init_scale=config.get("CRITIC_INIT_SCALE", 1.0),
+            norm_axis_name=pmap_axis,
+        )
+        rng, _rng = jax.random.split(rng)
+        _rngs = jax.random.split(_rng, num_critics)
+        critic_variables = jax.vmap(critic.init, in_axes=(0, None, None))(
+            _rngs, jnp.zeros(obs_shape), jnp.zeros(action_dim)
+        )
+
+        train_state = {
+            "actor": PQNTrainState.create(
+                apply_fn=actor.apply,
+                params=actor_variables["params"],
+                batch_stats=actor_variables["batch_stats"],
+                tx=make_optimizer(config["MAX_GRAD_NORM"], lr),
+            ),
+            "critic": PQNTrainState.create(
+                apply_fn=critic.apply,
+                params=critic_variables["params"],
+                batch_stats=critic_variables["batch_stats"],
+                tx=make_optimizer(config["MAX_GRAD_NORM"], lr),
+            ),
+        }
+
+        if pmap_axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(pmap_axis))
+
+        def actor_critic_step(train_state, obs, rng, noise_std=0.0, n_envs=None):
+            n_envs = n_envs or config["NUM_ENVS"]
+            action = actor.apply(
+                {
+                    "params": train_state["actor"].params,
+                    "batch_stats": train_state["actor"].batch_stats,
+                },
+                obs,
+                train=False,
+            )
+            original_action = action
+            rng, _rng = jax.random.split(rng)
+            if config.get("LINSPACE_NOISE", True):
+                noise_stds = jnp.linspace(0, noise_std, n_envs)
+            else:
+                noise_stds = jnp.full((n_envs,), noise_std)
+            noise = (
+                jax.random.normal(_rng, action.shape)
+                * noise_stds[:, np.newaxis]
+                * action_scale
+            )
+            action = jnp.clip(action + noise, act_low, act_high)
+
+            def single_critic(params, batch_stats):
+                return critic.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    obs,
+                    action,
+                    train=False,
+                )
+
+            values = jax.vmap(single_critic)(
+                train_state["critic"].params, train_state["critic"].batch_stats
+            )
+            return original_action, action, jnp.mean(values, axis=0)
+
+        # INIT ENV
+        rng, _rng = jax.random.split(rng)
+        reset_rng = jax.random.split(_rng, config["NUM_ENVS"])
+        obsv, env_state = env.reset(reset_rng, env_params)
+
+        def _update_step(runner_state, unused):
+            def _env_step(runner_state, unused):
+                train_state, env_state, last_obs, rng, test_metrics = runner_state
+                noise_std = noise_scheduler(train_state["actor"].n_updates)
+                rng, _rng = jax.random.split(rng)
+                original_action, action, value = actor_critic_step(
+                    train_state, last_obs, _rng, noise_std
+                )
+                rng, _rng = jax.random.split(rng)
+                rng_step = jax.random.split(_rng, config["NUM_ENVS"])
+                obsv, env_state, reward, done, info = env.step(
+                    rng_step, env_state, action, env_params
+                )
+                transition = ACTransition(
+                    done=done.astype(jnp.float32),
+                    original_action=original_action,
+                    action=action,
+                    next_action=action,  # filled after the rollout
+                    value=value,
+                    reward=rew_scale * reward,
+                    obs=last_obs,
+                    next_obs=obsv,
+                )
+                runner_state = (train_state, env_state, obsv, rng, test_metrics)
+                return runner_state, (transition, info)
+
+            runner_state, (traj_batch, infos) = jax.lax.scan(
+                _env_step, runner_state, None, config["NUM_STEPS"]
+            )
+
+            train_state, env_state, last_obs, rng, test_metrics = runner_state
+            rng, _rng = jax.random.split(rng)
+            noise_std = noise_scheduler(train_state["actor"].n_updates)
+            _, last_action, last_val = actor_critic_step(
+                train_state, last_obs, _rng, noise_std
+            )
+            next_actions = jnp.concatenate(
+                (traj_batch.next_action[1:], last_action[np.newaxis])
+            )
+            traj_batch = traj_batch.replace(next_action=next_actions)
+
+            # Q(lambda) over ensemble-mean values
+            def _get_target(carry, transition):
+                lam_ret, next_q = carry
+                target_bootstrap = (
+                    transition.reward
+                    + config["GAMMA"] * (1 - transition.done) * next_q
+                )
+                delta = lam_ret - next_q
+                lam_ret = target_bootstrap + config["GAMMA"] * config["LAMBDA"] * delta
+                lam_ret = (1 - transition.done) * lam_ret + transition.done * transition.reward
+                return (lam_ret, transition.value), lam_ret
+
+            last_val = last_val * (1 - traj_batch.done[-1])
+            lambda_returns = traj_batch.reward[-1] + config["GAMMA"] * last_val
+            _, targets = jax.lax.scan(
+                _get_target,
+                (lambda_returns, last_val),
+                jax.tree_util.tree_map(lambda x: x[:-1], traj_batch),
+                reverse=True,
+            )
+            targets = jnp.concatenate((targets, lambda_returns[np.newaxis]))
+
+            def _update_epoch(update_state, unused):
+                def _update_minbatch(train_state, batch_info):
+                    traj_batch, targets = batch_info
+
+                    def _critic_loss_fn(critic_params, traj_batch, targets):
+                        if config.get("USE_QLAMBDA", True):
+                            def single_pass(params, batch_stats):
+                                return critic.apply(
+                                    {"params": params, "batch_stats": batch_stats},
+                                    traj_batch.obs,
+                                    traj_batch.action,
+                                    train=True,
+                                    mutable=["batch_stats"],
+                                )
+
+                            values, updates = jax.vmap(single_pass)(
+                                critic_params, train_state["critic"].batch_stats
+                            )
+                        else:
+                            def single_pass(params, batch_stats):
+                                all_q, updates = critic.apply(
+                                    {"params": params, "batch_stats": batch_stats},
+                                    jnp.concatenate(
+                                        (traj_batch.obs, traj_batch.next_obs)
+                                    ),
+                                    jnp.concatenate(
+                                        (traj_batch.action, traj_batch.next_action)
+                                    ),
+                                    train=True,
+                                    mutable=["batch_stats"],
+                                )
+                                q, q_next = jnp.split(all_q, 2)
+                                return q, q_next, updates
+
+                            values, next_values, updates = jax.vmap(single_pass)(
+                                critic_params, train_state["critic"].batch_stats
+                            )
+                            q_next = jnp.mean(
+                                jax.lax.stop_gradient(next_values), axis=0
+                            )
+                            targets_ = (
+                                traj_batch.reward
+                                + (1 - traj_batch.done) * config["GAMMA"] * q_next
+                            )
+
+                        tgt = targets if config.get("USE_QLAMBDA", True) else targets_
+                        value_losses = jax.vmap(smooth_l1_loss, in_axes=(0, None))(
+                            values, jax.lax.stop_gradient(tgt)
+                        )
+                        loss = jnp.sum(jax.vmap(jnp.mean)(value_losses))
+                        loss_infos = {"value_loss": value_losses.mean()}
+                        return loss, (updates, loss_infos)
+
+                    def _actor_loss_fn(actor_params, traj_batch):
+                        action, updates = actor.apply(
+                            {
+                                "params": actor_params,
+                                "batch_stats": train_state["actor"].batch_stats,
+                            },
+                            traj_batch.obs,
+                            train=True,
+                            mutable=["batch_stats"],
+                        )
+
+                        def single_value(action, params, batch_stats):
+                            return critic.apply(
+                                {"params": params, "batch_stats": batch_stats},
+                                traj_batch.obs,
+                                action,
+                                train=False,
+                            )
+
+                        values = jax.vmap(single_value, in_axes=(None, 0, 0))(
+                            action,
+                            train_state["critic"].params,
+                            train_state["critic"].batch_stats,
+                        )
+                        rl_loss = jnp.mean(values, axis=0)
+
+                        action_diff = (
+                            action - traj_batch.original_action - action_bias
+                        ) / action_scale
+                        action_diff = jnp.abs(action_diff).mean(axis=-1)
+                        pen_loss = smooth_l1_loss(
+                            action, traj_batch.original_action
+                        ).mean(axis=-1)
+                        penalty = jnp.where(
+                            action_diff < config["THRESHOLD"],
+                            0.0,
+                            config["PENALTY_COEFF"] * pen_loss,
+                        )
+                        actor_loss = jnp.mean(-rl_loss + penalty)
+                        loss_infos = {
+                            "policy_loss": rl_loss.mean(),
+                            "actor_penalty_loss": pen_loss.mean(),
+                        }
+                        return actor_loss, (updates, loss_infos)
+
+                    critic_grad_fn = jax.value_and_grad(
+                        _critic_loss_fn, has_aux=True
+                    )
+                    (
+                        critic_loss,
+                        (critic_bs_update, critic_loss_infos),
+                    ), critic_grads = critic_grad_fn(
+                        train_state["critic"].params, traj_batch, targets
+                    )
+                    if pmap_axis is not None:
+                        critic_grads = jax.lax.pmean(critic_grads, pmap_axis)
+                    train_state_critic = train_state["critic"].apply_gradients(
+                        grads=critic_grads
+                    )
+                    train_state_critic = train_state_critic.replace(
+                        grad_steps=train_state["critic"].grad_steps + 1,
+                        batch_stats=critic_bs_update["batch_stats"],
+                    )
+
+                    actor_grad_fn = jax.value_and_grad(_actor_loss_fn, has_aux=True)
+                    (
+                        actor_loss,
+                        (actor_bs_update, actor_loss_infos),
+                    ), actor_grads = actor_grad_fn(
+                        train_state["actor"].params, traj_batch
+                    )
+                    if pmap_axis is not None:
+                        actor_grads = jax.lax.pmean(actor_grads, pmap_axis)
+                    train_state_actor = train_state["actor"].apply_gradients(
+                        grads=actor_grads
+                    )
+                    train_state_actor = train_state_actor.replace(
+                        grad_steps=train_state["actor"].grad_steps + 1,
+                        batch_stats=actor_bs_update["batch_stats"],
+                    )
+
+                    train_state = {
+                        "actor": train_state_actor,
+                        "critic": train_state_critic,
+                    }
+                    loss_infos = {**critic_loss_infos, **actor_loss_infos}
+                    return train_state, (critic_loss, actor_loss, loss_infos)
+
+                train_state, traj_batch, targets, rng = update_state
+                rng, _rng = jax.random.split(rng)
+                batch_size = config["MINIBATCH_SIZE"] * config["NUM_MINIBATCHES"]
+                permutation = jax.random.permutation(_rng, batch_size)
+                batch = (traj_batch, targets)
+                batch = jax.tree_util.tree_map(
+                    lambda x: x.reshape((batch_size,) + x.shape[2:]), batch
+                )
+                shuffled = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, permutation, axis=0), batch
+                )
+                minibatches = jax.tree_util.tree_map(
+                    lambda x: jnp.reshape(
+                        x, [config["NUM_MINIBATCHES"], -1] + list(x.shape[1:])
+                    ),
+                    shuffled,
+                )
+                train_state, loss_info = jax.lax.scan(
+                    _update_minbatch, train_state, minibatches
+                )
+                return (train_state, traj_batch, targets, rng), loss_info
+
+            update_state = (train_state, traj_batch, targets, rng)
+            update_state, (critic_loss, actor_loss, loss_infos) = jax.lax.scan(
+                _update_epoch, update_state, None, config["NUM_EPOCHS"]
+            )
+            train_state = update_state[0]
+            rng = update_state[-1]
+
+            train_state["actor"] = train_state["actor"].replace(
+                timesteps=(train_state["actor"].n_updates + 1)
+                * config["NUM_ENVS"]
+                * config["NUM_STEPS"]
+                * timestep_scale,
+                n_updates=train_state["actor"].n_updates + 1,
+            )
+
+            metrics = {
+                "env_step": train_state["actor"].timesteps,
+                "update_steps": train_state["actor"].n_updates,
+                "grad_steps_actor": train_state["actor"].grad_steps,
+                "grad_steps_critic": train_state["critic"].grad_steps,
+                "noise": noise_scheduler(train_state["actor"].n_updates),
+                "value_loss": critic_loss.mean(),
+                "loss_actor": actor_loss.mean(),
+            }
+            metrics.update({k: v.mean() for k, v in infos.items()})
+            if pmap_axis is not None:
+                metrics = jax.lax.pmean(metrics, pmap_axis)
+
+            if config.get("TEST_DURING_TRAINING", False):
+                rng, _rng = jax.random.split(rng)
+                test_metrics = jax.lax.cond(
+                    train_state["actor"].n_updates
+                    % int(config["NUM_UPDATES"] * config["TEST_INTERVAL"])
+                    == 0,
+                    lambda _: get_test_metrics(train_state, _rng),
+                    lambda _: test_metrics,
+                    operand=None,
+                )
+                metrics.update({f"test/{k}": v for k, v in test_metrics.items()})
+
+            if metric_callback is not None and use_callback:
+                jax.debug.callback(metric_callback, metrics, original_rng)
+
+            runner_state = (train_state, env_state, last_obs, rng, test_metrics)
+            return runner_state, metrics if collect_metrics else {}
+
+        def get_test_metrics(train_state, rng):
+            if not config.get("TEST_DURING_TRAINING", False):
+                return None
+
+            def _env_step(carry, _):
+                env_state, last_obs, rng = carry
+                rng, _rng = jax.random.split(rng)
+                action = actor.apply(
+                    {
+                        "params": train_state["actor"].params,
+                        "batch_stats": train_state["actor"].batch_stats,
+                    },
+                    last_obs,
+                    train=False,
+                )
+                rng_step = jax.random.split(_rng, config["TEST_NUM_ENVS"])
+                obsv, env_state, reward, done, info = env.step(
+                    rng_step, env_state, action, env_params
+                )
+                return (env_state, obsv, rng), info
+
+            rng, _rng = jax.random.split(rng)
+            reset_rng = jax.random.split(_rng, config["TEST_NUM_ENVS"])
+            init_obs, env_state = env.reset(reset_rng, env_params)
+            _, infos = jax.lax.scan(
+                _env_step, (env_state, init_obs, _rng), None,
+                config["TEST_NUM_STEPS"],
+            )
+            return jax.tree_util.tree_map(
+                lambda x: jnp.nanmean(
+                    jnp.where(infos["returned_episode"], x, jnp.nan)
+                ),
+                infos,
+            )
+
+        rng, _rng = jax.random.split(rng)
+        test_metrics = get_test_metrics(train_state, _rng)
+
+        rng, _rng = jax.random.split(rng)
+        runner_state = (train_state, env_state, obsv, rng, test_metrics)
+        runner_state, metrics = jax.lax.scan(
+            _update_step, runner_state, None, config["NUM_UPDATES"]
+        )
+        return {"runner_state": runner_state, "metrics": metrics}
+
+    return train

@@ -123,7 +123,15 @@ class Wrapper(Environment):
     def __getattr__(self, name: str) -> Any:
         return getattr(self._env, name)
 
-    # Explicit forwards so jit caches key on the wrapper instance correctly.
+    # Wrappers delegate by default — they must NOT inherit Environment's
+    # auto-resetting reset/step, which would re-apply auto-reset and
+    # bypass vectorized inner wrappers.
+    def reset(self, key, params=None):
+        return self._env.reset(key, params)
+
+    def step(self, key, state, action, params=None):
+        return self._env.step(key, state, action, params)
+
     @property
     def default_params(self):
         return self._env.default_params
