@@ -1,0 +1,129 @@
+"""C++ host env pool tests (builds cpp/ via make on first use)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("make") is None or shutil.which("g++") is None,
+    reason="native toolchain unavailable",
+)
+
+
+def test_pool_basic_step():
+    from purejaxql_tpu.envs.hostpool import HostEnvPool
+
+    pool = HostEnvPool("CartPole-v1", num_envs=32, seed=0)
+    obs = pool.reset()
+    assert obs.shape == (32, 4)
+    assert pool.num_actions == 2
+    total_d = 0
+    for _ in range(300):
+        actions = np.random.randint(0, 2, 32)
+        obs, r, d = pool.step(actions)
+        assert obs.shape == (32, 4)
+        assert ((r == 0.0) | (r == 1.0)).all()
+        total_d += d.sum()
+    # random cartpole episodes last ~20 steps
+    assert 100 < total_d < 1000
+    pool.close()
+
+
+def test_pool_deterministic_given_seed():
+    from purejaxql_tpu.envs.hostpool import HostEnvPool
+
+    def run(seed):
+        pool = HostEnvPool("CartPole-v1", num_envs=8, seed=seed)
+        obs = pool.reset()
+        outs = [obs]
+        for i in range(20):
+            obs, r, d = pool.step(np.full(8, i % 2, np.int32))
+            outs.append(obs)
+        pool.close()
+        return np.stack(outs)
+
+    a, b = run(7), run(7)
+    np.testing.assert_array_equal(a, b)
+    c = run(8)
+    assert not np.array_equal(a, c)
+
+
+def test_pool_acrobot():
+    from purejaxql_tpu.envs.hostpool import HostEnvPool
+
+    pool = HostEnvPool("Acrobot-v1", num_envs=16, seed=0)
+    obs = pool.reset()
+    assert obs.shape == (16, 6)
+    obs, r, d = pool.step(np.zeros(16, np.int32))
+    assert (r <= 0).all()
+    pool.close()
+
+
+def test_pool_unknown_env():
+    from purejaxql_tpu.envs.hostpool import HostEnvPool
+
+    with pytest.raises(ValueError):
+        HostEnvPool("DoesNotExist-v0", num_envs=4)
+
+
+def test_callback_env_in_graph():
+    """Host envs stepped from inside a jitted scan via io_callback."""
+    import jax
+    from purejaxql_tpu.envs.hostpool import HostEnvPool, make_callback_env
+
+    pool = HostEnvPool("CartPole-v1", num_envs=16, seed=0)
+    reset_fn, step_fn = make_callback_env(pool)
+
+    def rollout(rng):
+        token, obs = reset_fn()
+
+        def body(carry, _):
+            token, obs, rng = carry
+            rng, k = jax.random.split(rng)
+            actions = jax.random.randint(k, (16,), 0, 2)
+            token, obs, rew, done = step_fn(token, actions)
+            return (token, obs, rng), rew
+
+        (_, _, _), rews = jax.lax.scan(body, (token, obs, rng), None, 100)
+        return rews.sum()
+
+    total = jax.jit(rollout)(jax.random.PRNGKey(0))
+    assert float(total) == 1600.0  # 100 steps x 16 envs x reward 1
+    pool.close()
+
+
+def test_host_matches_device_dynamics():
+    """C++ CartPole must follow the same trajectory as the JAX CartPole
+    given the same start state and actions (deterministic dynamics)."""
+    import jax
+    import jax.numpy as jnp
+    from purejaxql_tpu.envs import make
+    from purejaxql_tpu.envs.hostpool import HostEnvPool
+
+    env, params = make("CartPole-v1")
+    pool = HostEnvPool("CartPole-v1", num_envs=1, seed=0)
+    host_obs = pool.reset()[0]
+
+    # inject the host start state into the device env
+    from purejaxql_tpu.envs.classic.cartpole import CartPoleState
+
+    state = CartPoleState(
+        x=jnp.asarray(host_obs[0]),
+        x_dot=jnp.asarray(host_obs[1]),
+        theta=jnp.asarray(host_obs[2]),
+        theta_dot=jnp.asarray(host_obs[3]),
+        time=jnp.asarray(0),
+    )
+    for i in range(30):
+        action = i % 2
+        host_obs, host_r, host_d = pool.step(np.asarray([action], np.int32))
+        obs, state, r, d, _ = env.step(
+            jax.random.PRNGKey(i), state, jnp.asarray(action), params
+        )
+        if bool(host_d[0]) or bool(d):
+            break
+        np.testing.assert_allclose(
+            host_obs[0], np.asarray(obs), rtol=1e-5, atol=1e-5
+        )
+    pool.close()
