@@ -234,14 +234,28 @@ def make_train(
             if use_q_lambda:
                 last_q = apply_eval(train_state, transitions.next_obs[-1])
                 last_q = jnp.max(last_q, axis=-1)
-                lambda_targets = lambda_returns(
-                    last_q,
-                    transitions.reward,
-                    transitions.done,
-                    jnp.max(transitions.q_val, axis=-1),
-                    config["GAMMA"],
-                    config["LAMBDA"],
-                )
+                if config.get("PALLAS_RETURNS", False):
+                    from purejaxql_tpu.ops.pallas_returns import (
+                        lambda_returns_pallas,
+                    )
+
+                    lambda_targets = lambda_returns_pallas(
+                        last_q,
+                        transitions.reward,
+                        transitions.done.astype(jnp.float32),
+                        jnp.max(transitions.q_val, axis=-1),
+                        config["GAMMA"],
+                        config["LAMBDA"],
+                    )
+                else:
+                    lambda_targets = lambda_returns(
+                        last_q,
+                        transitions.reward,
+                        transitions.done,
+                        jnp.max(transitions.q_val, axis=-1),
+                        config["GAMMA"],
+                        config["LAMBDA"],
+                    )
             else:
                 # 1-step TD recomputed per-minibatch inside the loss
                 # (pqn_craftax.py:286-303); placeholder targets keep the
