@@ -45,6 +45,9 @@ def single_run(config):
     env_name = config["ENV_NAME"]
     logger = make_logger(config)
 
+    if config.get("TRAINER", "fused") == "stepwise":
+        return _stepwise_run(config, logger)
+
     make_train = _select_make_train(config)
     rng = jax.random.PRNGKey(config["SEED"])
     rngs = jax.random.split(rng, config["NUM_SEEDS"])
@@ -75,6 +78,71 @@ def single_run(config):
         save_run(outs["runner_state"][0].params, config, save_dir, run_name)
         print(f"Saved params to {save_dir}/")
     return outs
+
+
+def _stepwise_run(config, logger):
+    """Host-loop trainer path: debuggable, interruptible, resumable.
+
+    Extra config keys: CHECKPOINT_EVERY (updates), CHECKPOINT_PATH,
+    RESUME_FROM (path saved by a previous stepwise run).
+    """
+    import jax as _jax
+
+    from purejaxql_tpu.algo.stages import make_stages, train_stepwise
+    from purejaxql_tpu.core.checkpoint import load_state, save_state
+
+    ckpt_path = config.get("CHECKPOINT_PATH") or os.path.join(
+        config.get("SAVE_PATH") or ".", f"{config['ENV_NAME']}_state.safetensors"
+    )
+
+    def on_update(update, metrics):
+        logger.log(metrics, update)
+
+    resume_from = config.get("RESUME_FROM")
+    rng = jax.random.PRNGKey(config["SEED"])
+    if resume_from:
+        stages = make_stages(config)
+        template = stages.init_agent(jax.random.PRNGKey(config["SEED"]))
+        restored = load_state(template, resume_from)
+        print(
+            f"Resumed from {resume_from} at {int(restored.n_updates)} updates / "
+            f"{int(restored.timesteps)} env steps"
+        )
+        # continue training with the restored state driving the schedules
+        obs, env_state = stages.reset(rng)
+        train_state = restored
+        remaining = stages.config["NUM_UPDATES"] - int(restored.n_updates)
+        for update in range(max(remaining, 0)):
+            rng, r1, r2 = jax.random.split(rng, 3)
+            obs, env_state, transitions, infos = stages.rollout(
+                train_state, obs, env_state, r1
+            )
+            targets = stages.compute_targets(train_state, transitions)
+            train_state, loss, qvals = stages.learn(
+                train_state, transitions, targets, r2
+            )
+            on_update(int(train_state.n_updates), {"td_loss": float(loss)})
+            if config.get("CHECKPOINT_EVERY") and (
+                (update + 1) % config["CHECKPOINT_EVERY"] == 0
+            ):
+                save_state(train_state, ckpt_path)
+        save_state(train_state, ckpt_path)
+        print(f"State saved to {ckpt_path}")
+        logger.close()
+        return train_state
+
+    ts, history = train_stepwise(
+        config,
+        rng=rng,
+        checkpoint_every=config.get("CHECKPOINT_EVERY"),
+        checkpoint_path=ckpt_path,
+        on_update=on_update,
+    )
+    os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
+    save_state(ts, ckpt_path)
+    print(f"State saved to {ckpt_path}")
+    logger.close()
+    return ts
 
 
 def tune(config):

@@ -84,6 +84,7 @@ def _tree_to_flat(tree, prefix: str) -> Dict[str, np.ndarray]:
 def save_state(train_state, filename: str) -> None:
     """Persist the full PQNTrainState (params, batch_stats, opt_state,
     counters) to one safetensors file."""
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
     tensors: Dict[str, np.ndarray] = {}
     tensors.update(_tree_to_flat(train_state.params, "params"))
     if train_state.batch_stats is not None:

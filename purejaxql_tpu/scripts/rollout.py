@@ -1,0 +1,162 @@
+"""Policy rollout / inference tool: load a trained checkpoint, roll out the
+greedy policy, report episode statistics, and capture trajectories.
+
+The framework's counterpart of the reference's render script
+(/root/reference/scripts/mujoco_playground_render.py): loads
+safetensors + config saved by the CLI, reconstructs the network, runs
+greedy episodes under jit, and (optionally) saves the trajectory as .npz
+and renders gridworld/MinAtar frames as ASCII.
+
+    python -m purejaxql_tpu.scripts.rollout \
+        --run-dir models/CartPole-v1 --episodes 8 --save-traj /tmp/traj.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from purejaxql_tpu.core.checkpoint import load_params
+from purejaxql_tpu.core.config import load_yaml
+from purejaxql_tpu.envs import make as make_env
+from purejaxql_tpu.envs import wrappers
+from purejaxql_tpu.models.factory import make_q_network
+
+
+def find_run_files(run_dir: str):
+    configs = sorted(glob.glob(os.path.join(run_dir, "*_config.yaml")))
+    params_files = sorted(
+        f
+        for f in glob.glob(os.path.join(run_dir, "*.safetensors"))
+    )
+    if not configs or not params_files:
+        raise SystemExit(
+            f"No run files in {run_dir} (need *_config.yaml + *.safetensors)"
+        )
+    return configs[0], params_files[0]
+
+
+def greedy_rollout(config, params, batch_stats, num_episodes, seed, max_steps):
+    env, env_params = make_env(config["ENV_NAME"], **(config.get("ENV_KWARGS") or {}))
+    obs_shape = env.observation_space(env_params).shape
+    flatten = len(obs_shape) == 1 or config.get("ARCH") == "mlp"
+    if flatten and len(obs_shape) > 1:
+        env = wrappers.FlattenObservation(env)
+    env = wrappers.Log(env)
+    obs_shape = env.observation_space(env_params).shape
+    action_dim = env.action_space(env_params).n
+    network = make_q_network(config, action_dim, obs_shape)
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def episode(rng):
+        obs, state = env.reset(rng, env_params)
+
+        def step(carry, _):
+            obs, state, rng, done_seen, ep_ret, ep_len = carry
+            rng, k = jax.random.split(rng)
+            q = network.apply(variables, obs[None], train=False)[0]
+            action = jnp.argmax(q)
+            next_obs, next_state, reward, done, info = env.step(
+                k, state, action, env_params
+            )
+            first_done = jnp.logical_and(done, jnp.logical_not(done_seen))
+            ep_ret = jnp.where(
+                first_done, info["returned_episode_returns"], ep_ret
+            )
+            ep_len = jnp.where(
+                first_done, info["returned_episode_lengths"], ep_len
+            )
+            done_seen = jnp.logical_or(done_seen, done)
+            return (next_obs, next_state, rng, done_seen, ep_ret, ep_len), (
+                obs,
+                action,
+                reward,
+            )
+
+        (_, _, _, done_seen, ep_ret, ep_len), traj = jax.lax.scan(
+            step,
+            (obs, state, rng, jnp.asarray(False), 0.0, jnp.asarray(0, jnp.int32)),
+            None,
+            max_steps,
+        )
+        return ep_ret, ep_len, traj
+
+    rngs = jax.random.split(jax.random.PRNGKey(seed), num_episodes)
+    rets, lens, trajs = jax.vmap(episode)(rngs)
+    return np.asarray(rets), np.asarray(lens), jax.tree_util.tree_map(np.asarray, trajs)
+
+
+def ascii_render_minatar(obs_frame: np.ndarray) -> str:
+    """Render a (10, 10, C) MinAtar frame as one character per cell."""
+    symbols = "#@*o+x$%"
+    grid = [["." for _ in range(obs_frame.shape[1])] for _ in range(obs_frame.shape[0])]
+    for c in range(obs_frame.shape[2]):
+        for y in range(obs_frame.shape[0]):
+            for x in range(obs_frame.shape[1]):
+                if obs_frame[y, x, c] > 0.5:
+                    grid[y][x] = symbols[c % len(symbols)]
+    return "\n".join("".join(row) for row in grid)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--episodes", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--save-traj", default=None)
+    p.add_argument("--ascii", action="store_true", help="print first-episode frames")
+    args = p.parse_args(argv)
+
+    config_path, params_path = find_run_files(args.run_dir)
+    config = load_yaml(config_path)
+    params = load_params(params_path)
+    # inference-grade checkpoints carry params only; batch_stats are
+    # reconstructed at init scale (exact for layer_norm configs)
+    env, env_params = make_env(config["ENV_NAME"], **(config.get("ENV_KWARGS") or {}))
+    obs_shape = env.observation_space(env_params).shape
+    if len(obs_shape) > 1 and config.get("ARCH", "mlp" if len(obs_shape) == 1 else "cnn") == "mlp":
+        obs_shape = (int(np.prod(obs_shape)),)
+    network = make_q_network(config, env.action_space(env_params).n, obs_shape)
+    init_vars = network.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *obs_shape)), train=False
+    )
+    batch_stats = init_vars["batch_stats"]
+
+    max_steps = args.max_steps or getattr(env_params, "max_steps_in_episode", 1000)
+    rets, lens, trajs = greedy_rollout(
+        config, params, batch_stats, args.episodes, args.seed, max_steps
+    )
+    print(f"episodes: {args.episodes}")
+    print(f"returns:  mean {rets.mean():.2f}  min {rets.min():.2f}  max {rets.max():.2f}")
+    print(f"lengths:  mean {lens.mean():.1f}")
+
+    if args.save_traj:
+        np.savez_compressed(
+            args.save_traj,
+            obs=trajs[0],
+            actions=trajs[1],
+            rewards=trajs[2],
+            returns=rets,
+            lengths=lens,
+        )
+        print(f"trajectory saved to {args.save_traj}")
+
+    if args.ascii:
+        obs = trajs[0][0]
+        for t in range(0, min(10, obs.shape[0])):
+            frame = obs[t]
+            if frame.ndim == 3:
+                print(f"--- t={t}")
+                print(ascii_render_minatar(frame))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
