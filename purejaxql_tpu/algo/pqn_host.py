@@ -1,0 +1,215 @@
+"""FF-PQN over host (C++) environments — the Atari/EnvPool-style path.
+
+Mirrors the reference's pqn_atari.py architecture: external envs stepped by
+a C++ pool on the host CPU, bridged into the jitted training program as an
+ordered host callback threaded through the scan carry (the reference uses
+EnvPool's XLA custom-call handle the same way, pqn_atari.py:235-237,
+atari_wrapper.py:119-146). Everything else — epsilon-greedy, Q(lambda)
+reverse scan, epoch/minibatch TD updates — is the standard engine.
+
+Environment reset happens OUTSIDE jit (host envs are stateful,
+pqn_atari.py:161-162) and seeds cannot vmap (pqn_atari.py:457-458) — both
+constraints inherited from hosting real external envs.
+
+NOTE: requires a backend with host-callback support (CPU / standard TPU
+runtimes; not the tunneled axon backend).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from purejaxql_tpu.algo.exploration import eps_greedy_batch
+from purejaxql_tpu.algo.returns import lambda_returns_closure
+from purejaxql_tpu.algo.types import Transition
+from purejaxql_tpu.core.optim import make_optimizer
+from purejaxql_tpu.core.schedules import epsilon_schedule, lr_schedule
+from purejaxql_tpu.core.train_state import PQNTrainState
+from purejaxql_tpu.envs.hostpool import HostEnvPool, make_callback_env
+from purejaxql_tpu.models.factory import make_q_network
+
+
+def make_train(config: Dict[str, Any], pool: Optional[HostEnvPool] = None):
+    """Build `train(rng) -> {"runner_state", "metrics"}` over a host pool.
+
+    Single-seed only (stateful external envs).
+    """
+    config = dict(config)
+    config["TOTAL_TIMESTEPS"] = int(float(config["TOTAL_TIMESTEPS"]))
+    config["TOTAL_TIMESTEPS_DECAY"] = int(
+        float(config.get("TOTAL_TIMESTEPS_DECAY", config["TOTAL_TIMESTEPS"]))
+    )
+    config["NUM_UPDATES"] = (
+        config["TOTAL_TIMESTEPS"] // config["NUM_STEPS"] // config["NUM_ENVS"]
+    )
+    config["NUM_UPDATES_DECAY"] = (
+        config["TOTAL_TIMESTEPS_DECAY"] // config["NUM_STEPS"] // config["NUM_ENVS"]
+    )
+
+    if pool is None:
+        pool = HostEnvPool(
+            config["ENV_NAME"],
+            num_envs=config["NUM_ENVS"],
+            seed=config.get("SEED", 0),
+        )
+    assert pool.num_envs == config["NUM_ENVS"]
+    reset_fn, step_fn = make_callback_env(pool)
+
+    network = make_q_network(config, pool.num_actions, (pool.obs_dim,))
+    rew_scale = config.get("REW_SCALE", 1.0)
+
+    def train(rng: jax.Array):
+        eps_scheduler = epsilon_schedule(
+            config["EPS_START"],
+            config["EPS_FINISH"],
+            config["EPS_DECAY"] * config["NUM_UPDATES_DECAY"],
+        )
+
+        def create_agent(rng):
+            init_x = jnp.zeros((1, pool.obs_dim))
+            variables = network.init(rng, init_x, train=False)
+            tx = make_optimizer(config["MAX_GRAD_NORM"], lr_schedule(config))
+            return PQNTrainState.create(
+                apply_fn=network.apply,
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                tx=tx,
+            )
+
+        rng, _rng = jax.random.split(rng)
+        train_state = create_agent(rng)
+
+        # host reset outside the scan (stateful external envs)
+        token, init_obs = reset_fn()
+
+        def apply_eval(train_state, obs):
+            return network.apply(
+                {
+                    "params": train_state.params,
+                    "batch_stats": train_state.batch_stats,
+                },
+                obs,
+                train=False,
+            )
+
+        def _update_step(runner_state, unused):
+            train_state, token, last_obs, rng = runner_state
+
+            def _step_env(carry, _):
+                token, last_obs, rng = carry
+                rng, rng_a = jax.random.split(rng)
+                q_vals = apply_eval(train_state, last_obs)
+                eps = jnp.full(
+                    config["NUM_ENVS"], eps_scheduler(train_state.n_updates)
+                )
+                action = eps_greedy_batch(rng_a, q_vals, eps)
+                token2, new_obs, reward, done = step_fn(token, action)
+                transition = Transition(
+                    obs=last_obs,
+                    action=action,
+                    reward=rew_scale * reward,
+                    done=done.astype(jnp.float32),
+                    next_obs=new_obs,
+                    q_val=q_vals,
+                )
+                return (token2, new_obs, rng), transition
+
+            rng, _rng = jax.random.split(rng)
+            (token, last_obs, rng), transitions = jax.lax.scan(
+                _step_env, (token, last_obs, _rng), None, config["NUM_STEPS"]
+            )
+
+            train_state = train_state.replace(
+                timesteps=train_state.timesteps
+                + config["NUM_STEPS"] * config["NUM_ENVS"]
+            )
+
+            last_q = jnp.max(apply_eval(train_state, last_obs), axis=-1)
+            lambda_targets = lambda_returns_closure(
+                last_q,
+                transitions.reward,
+                transitions.done,
+                jnp.max(transitions.q_val, axis=-1),
+                config["GAMMA"],
+                config["LAMBDA"],
+            )
+
+            def _learn_epoch(carry, _):
+                train_state, rng = carry
+
+                def _learn_phase(carry, minibatch_and_target):
+                    train_state, rng = carry
+                    minibatch, target = minibatch_and_target
+
+                    def _loss_fn(params):
+                        q_vals, updates = network.apply(
+                            {
+                                "params": params,
+                                "batch_stats": train_state.batch_stats,
+                            },
+                            minibatch.obs,
+                            train=True,
+                            mutable=["batch_stats"],
+                        )
+                        chosen = jnp.take_along_axis(
+                            q_vals, jnp.expand_dims(minibatch.action, -1), -1
+                        ).squeeze(-1)
+                        loss = 0.5 * jnp.square(chosen - target).mean()
+                        return loss, (updates, chosen)
+
+                    (loss, (updates, qvals)), grads = jax.value_and_grad(
+                        _loss_fn, has_aux=True
+                    )(train_state.params)
+                    train_state = train_state.apply_gradients(grads=grads)
+                    train_state = train_state.replace(
+                        grad_steps=train_state.grad_steps + 1,
+                        batch_stats=updates["batch_stats"],
+                    )
+                    return (train_state, rng), loss
+
+                def preprocess(x, rng):
+                    x = x.reshape(-1, *x.shape[2:])
+                    x = jax.random.permutation(rng, x)
+                    return x.reshape(config["NUM_MINIBATCHES"], -1, *x.shape[1:])
+
+                rng, _rng = jax.random.split(rng)
+                minibatches = jax.tree_util.tree_map(
+                    lambda x: preprocess(x, _rng), transitions
+                )
+                targets = jax.tree_util.tree_map(
+                    lambda x: preprocess(x, _rng), lambda_targets
+                )
+                rng, _rng = jax.random.split(rng)
+                (train_state, rng), losses = jax.lax.scan(
+                    _learn_phase, (train_state, rng), (minibatches, targets)
+                )
+                return (train_state, rng), losses
+
+            rng, _rng = jax.random.split(rng)
+            (train_state, rng), losses = jax.lax.scan(
+                _learn_epoch, (train_state, rng), None, config["NUM_EPOCHS"]
+            )
+            train_state = train_state.replace(
+                n_updates=train_state.n_updates + 1
+            )
+            metrics = {
+                "env_step": train_state.timesteps,
+                "td_loss": losses.mean(),
+                "reward_per_step": transitions.reward.mean(),
+                # 1/mean-episode-length: falls as the policy improves
+                "done_rate": transitions.done.mean(),
+            }
+            return (train_state, token, last_obs, rng), metrics
+
+        rng, _rng = jax.random.split(rng)
+        runner_state = (train_state, token, init_obs, _rng)
+        runner_state, metrics = jax.lax.scan(
+            _update_step, runner_state, None, config["NUM_UPDATES"]
+        )
+        return {"runner_state": runner_state, "metrics": metrics}
+
+    return train

@@ -82,17 +82,42 @@ class Throughput:
 def stage_timings(stages, rng: Optional[jax.Array] = None) -> Dict[str, float]:
     """Per-stage wall times for a PQNStages bundle (rollout / targets /
     learn / evaluate), each warmed up and timed separately. Pinpoints
-    whether a config is env-bound or learner-bound."""
+    whether a config is env-bound or learner-bound.
+
+    Each stage is timed through a jitted wrapper that reduces its outputs
+    to one scalar on-device, so only compute (not device->host transfer of
+    full rollouts) is measured — essential on tunneled TPU backends."""
+    import jax.numpy as jnp
+
     rng = jax.random.PRNGKey(0) if rng is None else rng
     ts = stages.init_agent(rng)
     obs, env_state = stages.reset(rng)
 
+    def reduced(fn):
+        @jax.jit
+        def wrapper(*args):
+            out = fn(*args)
+            leaves = [
+                l.sum().astype(jnp.float32)
+                for l in jax.tree_util.tree_leaves(out)
+                if hasattr(l, "sum") and jnp.issubdtype(l.dtype, jnp.number)
+            ]
+            return sum(leaves)
+
+        return wrapper
+
     out = {}
-    out["rollout_s"] = time_fn(stages.rollout, ts, obs, env_state, rng)["best_s"]
+    out["rollout_s"] = time_fn(
+        reduced(stages.rollout), ts, obs, env_state, rng
+    )["best_s"]
     _, _, transitions, _ = stages.rollout(ts, obs, env_state, rng)
-    out["targets_s"] = time_fn(stages.compute_targets, ts, transitions)["best_s"]
+    out["targets_s"] = time_fn(
+        reduced(stages.compute_targets), ts, transitions
+    )["best_s"]
     targets = stages.compute_targets(ts, transitions)
-    out["learn_s"] = time_fn(stages.learn, ts, transitions, targets, rng)["best_s"]
+    out["learn_s"] = time_fn(
+        reduced(stages.learn), ts, transitions, targets, rng
+    )["best_s"]
     if stages.config.get("TEST_DURING_TRAINING", False):
-        out["evaluate_s"] = time_fn(stages.evaluate, ts, rng)["best_s"]
+        out["evaluate_s"] = time_fn(reduced(stages.evaluate), ts, rng)["best_s"]
     return out
