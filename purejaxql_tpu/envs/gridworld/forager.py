@@ -130,12 +130,17 @@ class Forager(Environment):
     def reset_env(self, key, params):
         k_world, k_cow, k_skel = jax.random.split(key, 3)
         blocks = W.generate_world(k_world)
-        c = W.WORLD_SIZE // 2
+        c = W.PAD + W.WORLD_SIZE // 2
 
-        # cows on random tiles (prefer grass via rejection-free weighting)
-        cow_pos = jax.random.randint(k_cow, (N_COWS, 2), 4, W.WORLD_SIZE - 4)
+        # cows on random tiles (prefer grass via rejection-free weighting);
+        # all positions live in padded coordinates
+        cow_pos = jax.random.randint(
+            k_cow, (N_COWS, 2), W.PAD + 4, W.PAD + W.WORLD_SIZE - 4
+        )
         on_grass = blocks[cow_pos[:, 0], cow_pos[:, 1]] == W.GRASS
-        skel_pos = jax.random.randint(k_skel, (N_SKELETONS, 2), 2, W.WORLD_SIZE - 2)
+        skel_pos = jax.random.randint(
+            k_skel, (N_SKELETONS, 2), W.PAD + 2, W.PAD + W.WORLD_SIZE - 2
+        )
         on_stone = blocks[skel_pos[:, 0], skel_pos[:, 1]] == W.STONE
 
         state = ForagerState(
@@ -188,12 +193,12 @@ class Forager(Environment):
         )
         facing = jnp.where(is_move, move_dir, state.facing)
         step_vec = _DIRS[facing]
-        new_pos = jnp.clip(state.pos + step_vec, 0, W.WORLD_SIZE - 1)
+        new_pos = state.pos + step_vec  # border is INVALID: unwalkable
         target_walkable = _WALKABLE[blocks[new_pos[0], new_pos[1]]]
         pos = jnp.where(jnp.logical_and(is_move, target_walkable), new_pos, state.pos)
 
         # facing target tile
-        tgt = jnp.clip(pos + _DIRS[facing], 0, W.WORLD_SIZE - 1)
+        tgt = pos + _DIRS[facing]
         ty, tx = tgt[0], tgt[1]
         tblock = blocks[ty, tx]
 
@@ -311,8 +316,8 @@ class Forager(Environment):
 
         # ---- CRAFT actions ------------------------------------------
         py, px = pos[0], pos[1]
-        y0 = jnp.clip(py - 1, 0, W.WORLD_SIZE - 3)
-        x0 = jnp.clip(px - 1, 0, W.WORLD_SIZE - 3)
+        y0 = py - 1  # pos stays inside the padded interior
+        x0 = px - 1
         around = jax.lax.dynamic_slice(blocks, (y0, x0), (3, 3))
         near_table = (around == W.TABLE).any()
         near_furnace = (around == W.FURNACE).any()
@@ -394,7 +399,7 @@ class Forager(Environment):
             dirs = jax.random.randint(ks[0], (mob_pos.shape[0],), 0, 4)
             move = jax.random.uniform(ks[1], (mob_pos.shape[0],)) < p
             step = _DIRS[dirs]
-            cand = jnp.clip(mob_pos + step, 0, W.WORLD_SIZE - 1)
+            cand = jnp.clip(mob_pos + step, W.PAD, W.PAD + W.WORLD_SIZE - 1)
             ok = _WALKABLE[blocks[cand[:, 0], cand[:, 1]]] & move & alive
             return jnp.where(ok[:, None], cand, mob_pos)
 
@@ -404,7 +409,7 @@ class Forager(Environment):
         zk1, zk2 = jax.random.split(k_zspawn)
         spawn_offsets = jax.random.randint(zk1, (N_ZOMBIES, 2), -8, 9)
         far_enough = jnp.abs(spawn_offsets).sum(axis=1) >= 5
-        spawn_pos = jnp.clip(pos + spawn_offsets, 0, W.WORLD_SIZE - 1)
+        spawn_pos = jnp.clip(pos + spawn_offsets, W.PAD, W.PAD + W.WORLD_SIZE - 1)
         spawn_ok = (
             is_night
             & ~zombie_alive
@@ -425,7 +430,7 @@ class Forager(Environment):
         chase = jnp.stack(
             [jnp.where(go_y, step_y, 0), jnp.where(go_y, 0, step_x)], axis=1
         ).astype(jnp.int32)
-        zcand = jnp.clip(zombie_pos + chase, 0, W.WORLD_SIZE - 1)
+        zcand = jnp.clip(zombie_pos + chase, W.PAD, W.PAD + W.WORLD_SIZE - 1)
         zmove = jax.random.uniform(k_zmove, (N_ZOMBIES,)) < 0.7
         zok = _WALKABLE[blocks[zcand[:, 0], zcand[:, 1]]] & zmove & zombie_alive
         zombie_pos = jnp.where(zok[:, None], zcand, zombie_pos)
@@ -486,13 +491,10 @@ class Forager(Environment):
     # ------------------------------------------------------------------
     def get_obs(self, state: ForagerState, params) -> jax.Array:
         half = VIEW // 2
-        pad = half
-        padded = jnp.pad(
-            state.blocks, pad, constant_values=W.INVALID
-        )
-        y0 = state.pos[0]
-        x0 = state.pos[1]
-        window = jax.lax.dynamic_slice(padded, (y0, x0), (VIEW, VIEW))
+        # the stored map is pre-padded with an INVALID border (W.PAD >= half)
+        y0 = state.pos[0] - half
+        x0 = state.pos[1] - half
+        window = jax.lax.dynamic_slice(state.blocks, (y0, x0), (VIEW, VIEW))
         block_onehot = jax.nn.one_hot(window, W.NUM_BLOCK_TYPES)
 
         def mob_channel(mob_pos, alive):

@@ -31,6 +31,12 @@ PLANT_RIPE = 13
 NUM_BLOCK_TYPES = 14
 
 WORLD_SIZE = 48
+# The env stores the map PRE-PADDED with an INVALID border of PAD cells:
+# the local-view window then slices without re-padding every step, and the
+# border doubles as the world boundary (INVALID is unwalkable). Positions
+# live in padded coordinates [PAD, PAD + WORLD_SIZE).
+PAD = 4
+PADDED_SIZE = WORLD_SIZE + 2 * PAD
 
 
 def _value_noise(key: jax.Array, size: int, res: int) -> jax.Array:
@@ -56,15 +62,17 @@ def _value_noise(key: jax.Array, size: int, res: int) -> jax.Array:
 
 
 def generate_world(key: jax.Array) -> jax.Array:
-    """Generate a WORLD_SIZE^2 block map: water/sand/grass plains with
-    forests, a stony highland seamed with coal/iron/diamond."""
+    """Generate a PADDED_SIZE^2 int8 block map (INVALID border of PAD):
+    water/sand/grass plains with forests, a stony highland seamed with
+    coal/iron/diamond. int8 storage quarters HBM traffic for the scatter-
+    heavy step function."""
     k_elev, k_detail, k_trees, k_coal, k_iron, k_diam = jax.random.split(key, 6)
 
     elev = _value_noise(k_elev, WORLD_SIZE, 6) + 0.5 * _value_noise(
         k_detail, WORLD_SIZE, 12
     )
 
-    blocks = jnp.full((WORLD_SIZE, WORLD_SIZE), GRASS, jnp.int32)
+    blocks = jnp.full((WORLD_SIZE, WORLD_SIZE), GRASS, jnp.int8)
     blocks = jnp.where(elev < -0.55, WATER, blocks)
     blocks = jnp.where((elev >= -0.55) & (elev < -0.4), SAND, blocks)
     highland = elev > 0.55
@@ -85,6 +93,7 @@ def generate_world(key: jax.Array) -> jax.Array:
     # clear a spawn point at the center
     c = WORLD_SIZE // 2
     blocks = jax.lax.dynamic_update_slice(
-        blocks, jnp.full((3, 3), GRASS, jnp.int32), (c - 1, c - 1)
+        blocks, jnp.full((3, 3), GRASS, jnp.int8), (c - 1, c - 1)
     )
-    return blocks
+    blocks = blocks.astype(jnp.int8)
+    return jnp.pad(blocks, PAD, constant_values=INVALID)
