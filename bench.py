@@ -41,9 +41,12 @@ A40_BASELINES = {
 }
 
 WORKLOADS = {
+    # cartpole/minatar keep the reference configs' in-graph eval enabled
+    # (their wall-time claims were measured with it); craftax's reference
+    # config has eval off.
     "cartpole": dict(
         alg="pqn_cartpole",
-        overrides=["TEST_DURING_TRAINING=False", "COLLECT_METRICS=False"],
+        overrides=["COLLECT_METRICS=False"],
         total=int(5e5),
     ),
     "minatar": dict(
@@ -52,7 +55,6 @@ WORKLOADS = {
             "ENV_NAME=Breakout-MinAtar",
             "TOTAL_TIMESTEPS=2000000",
             "TOTAL_TIMESTEPS_DECAY=2000000",
-            "TEST_DURING_TRAINING=False",
             "COLLECT_METRICS=False",
         ],
         total=int(2e6),
@@ -67,15 +69,14 @@ WORKLOADS = {
         total=int(1024000),
     ),
     # bf16 trunk fast path (opt-in, non-default): learning verified on
-    # Breakout (test return 26.9 vs 28.5 f32 on the same budget); reported
-    # as a detail row, excluded from the headline geomean.
+    # Breakout (test return 26.9 vs 28.5 f32 on the same budget); detail
+    # row only, excluded from the headline geomean.
     "minatar_bf16": dict(
         alg="pqn_minatar",
         overrides=[
             "ENV_NAME=Breakout-MinAtar",
             "TOTAL_TIMESTEPS=2000000",
             "TOTAL_TIMESTEPS_DECAY=2000000",
-            "TEST_DURING_TRAINING=False",
             "COLLECT_METRICS=False",
             "BF16_COMPUTE=True",
         ],

@@ -272,15 +272,6 @@ class Forager(Environment):
         food = jnp.where(ate_plant, jnp.minimum(food + 4, 9), food)
 
         mined = got_stone | got_coal | got_iron | got_diamond
-        blocks = jnp.where(
-            mined, blocks.at[ty, tx].set(W.PATH), blocks
-        )
-        blocks = jnp.where(
-            ate_plant, blocks.at[ty, tx].set(W.SAPLING), blocks
-        )
-        growth = jnp.where(
-            ate_plant, state.growth.at[ty, tx].set(0), state.growth
-        )
 
         for cond, name in [
             (got_wood, "collect_wood"), (got_drink, "collect_drink"),
@@ -293,26 +284,39 @@ class Forager(Environment):
         # ---- PLACE actions ------------------------------------------
         placeable = _PLACEABLE[tblock] & jnp.logical_not(any_mob)
 
-        def place(act, block_id, cost_item, cost_n, name, need_grass=False):
-            nonlocal blocks, inv, ach
+        def place(act, cost_item, cost_n, name, need_grass=False):
+            nonlocal inv, ach
             ok = (
                 (action == act)
                 & placeable
                 & (inv[INV[cost_item]] >= cost_n)
                 & (jnp.logical_not(need_grass) | (tblock == W.GRASS))
             )
-            blocks = jnp.where(ok, blocks.at[ty, tx].set(block_id), blocks)
             inv = jnp.where(ok, inv.at[INV[cost_item]].add(-cost_n), inv)
             ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | ok)
             return ok
 
-        place(A_PLACE_STONE, W.STONE, "stone", 1, "place_stone")
-        place(A_PLACE_TABLE, W.TABLE, "wood", 2, "place_table")
-        place(A_PLACE_FURNACE, W.FURNACE, "stone", 2, "place_furnace")
+        placed_stone = place(A_PLACE_STONE, "stone", 1, "place_stone")
+        placed_table = place(A_PLACE_TABLE, "wood", 2, "place_table")
+        placed_furnace = place(A_PLACE_FURNACE, "stone", 2, "place_furnace")
         placed_plant = place(
-            A_PLACE_PLANT, W.SAPLING, "sapling", 1, "place_plant", need_grass=True
+            A_PLACE_PLANT, "sapling", 1, "place_plant", need_grass=True
         )
-        growth = jnp.where(placed_plant, growth.at[ty, tx].set(0), growth)
+
+        # All per-step tile mutations target the SAME facing cell, so they
+        # fold into ONE scatter (vmapped single-cell scatters are the
+        # expensive op on TPU) plus one growth-timer scatter.
+        tile_new = jnp.where(mined, W.PATH, tblock)
+        tile_new = jnp.where(ate_plant | placed_plant, W.SAPLING, tile_new)
+        tile_new = jnp.where(placed_stone, W.STONE, tile_new)
+        tile_new = jnp.where(placed_table, W.TABLE, tile_new)
+        tile_new = jnp.where(placed_furnace, W.FURNACE, tile_new)
+        blocks = blocks.at[ty, tx].set(tile_new.astype(blocks.dtype))
+        growth = state.growth.at[ty, tx].set(
+            jnp.where(
+                ate_plant | placed_plant, 0, state.growth[ty, tx]
+            ).astype(state.growth.dtype)
+        )
 
         # ---- CRAFT actions ------------------------------------------
         py, px = pos[0], pos[1]

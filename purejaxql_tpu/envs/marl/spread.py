@@ -40,10 +40,13 @@ class Spread(MultiAgentEnv):
         num_agents: int = 3,
         max_steps: int = 25,
         dt: float = 0.1,
-        damping: float = 0.5,
-        accel: float = 0.5,
+        damping: float = 0.25,
+        accel: float = 3.0,
         collision_radius: float = 0.1,
     ):
+        # dynamics are MPE-scale: steady-state speed accel*dt/damping = 1.2
+        # units/s, so an agent crosses the [-1,1]^2 arena within one
+        # 25-step episode — the coverage reward is controllable.
         self.num_agents = num_agents
         self.agents = [f"agent_{i}" for i in range(num_agents)]
         self.max_steps = max_steps
