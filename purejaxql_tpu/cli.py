@@ -32,6 +32,9 @@ def _select_make_train(config):
     if name in ("pqn_ac", "pqn_playground"):
         from purejaxql_tpu.algo.pqn_ac import make_train
         return make_train
+    if name == "pqn_host":
+        from purejaxql_tpu.algo.pqn_host import make_train as make_train_host
+        return make_train_host
     raise SystemExit(
         f"Unknown ALG_NAME '{name}' (expected pqn / pqn_rnn / pqn_vdn / pqn_ac)"
     )
@@ -50,8 +53,16 @@ def single_run(config):
 
     make_train = _select_make_train(config)
     rng = jax.random.PRNGKey(config["SEED"])
+    if config.get("ALG_NAME") == "pqn_host":
+        # host envs are stateful: single-seed, no vmap (pqn_atari.py:457-458)
+        if config["NUM_SEEDS"] != 1:
+            raise SystemExit("pqn_host supports NUM_SEEDS=1 only")
+        train_vjit = jax.jit(make_train(config))
+        train_vjit = (lambda f: (lambda rngs: jax.tree_util.tree_map(
+            lambda x: x[None], f(rngs[0]))))(train_vjit)
+    else:
+        train_vjit = jax.jit(jax.vmap(make_train(config, logger=logger)))
     rngs = jax.random.split(rng, config["NUM_SEEDS"])
-    train_vjit = jax.jit(jax.vmap(make_train(config, logger=logger)))
 
     t0 = time.time()
     outs = train_vjit(rngs)
