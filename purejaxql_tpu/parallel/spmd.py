@@ -22,7 +22,10 @@ Semantics note (documented divergence from single-chip bitwise parity):
 per-shard env streams derive from `fold_in(rng, axis_index)` and minibatch
 shuffles are shard-local, so a k-shard run is a different (equally valid)
 sample of the same algorithm, like changing NUM_ENVS partitioning. Learner
-updates use the full global batch via gradient pmean.
+updates use the full global batch via gradient pmean. OptimisticResetVecEnv
+reset pools are likewise per-shard (num_envs_local / reset_ratio fresh
+resets per shard per step) — the global reset budget is identical, shared
+only within a shard (SURVEY.md §7 "OptimisticReset under sharding").
 """
 
 from __future__ import annotations
