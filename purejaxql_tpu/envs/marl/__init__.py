@@ -6,10 +6,14 @@ from purejaxql_tpu.envs.marl.base import (
     MultiAgentEnv,
 )
 from purejaxql_tpu.envs.marl.spread import Spread
+from purejaxql_tpu.envs.marl.skirmish import Skirmish
 
 _MARL_REGISTRY = {
     "Spread-v0": Spread,
     "simple_spread": Spread,
+    "Skirmish-v0": Skirmish,
+    # compatibility alias for reference-style configs
+    "HeuristicEnemySMAX": Skirmish,
 }
 
 

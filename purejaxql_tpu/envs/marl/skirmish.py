@@ -1,0 +1,273 @@
+"""Skirmish: a SMAX-class cooperative micro-battle env in pure JAX.
+
+N controlled allies fight M heuristic enemies on a continuous 2D field —
+the in-tree counterpart of the reference's SMAX benchmark family
+(`HeuristicEnemySMAX`, /root/reference/purejaxql/config/alg/
+pqn_vdn_rnn_smax.yaml): per-unit movement, ranged attacks with cooldowns,
+health, unit death, a scripted enemy (chase closest ally, attack in
+range), SMAC-style shaped team reward (normalized damage + kill + win
+bonuses), and — crucially for the VDN engine — LEGAL-ACTION MASKS: the
+attack-enemy-j action is only available while enemy j is alive and in
+range, exercising the masked epsilon-greedy and masked-target paths end
+to end.
+
+Actions per ally: [noop, up, right, down, left, attack_0..attack_{M-1}].
+Observations per ally: own (pos, health, cooldown) + per-ally and
+per-enemy relative (pos, health, alive) in fixed slots (dead units zero).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from purejaxql_tpu.envs import spaces
+from purejaxql_tpu.envs.marl.base import MultiAgentEnv
+
+
+@struct.dataclass
+class SkirmishState:
+    ally_pos: jax.Array      # (N, 2)
+    ally_health: jax.Array   # (N,)
+    ally_cd: jax.Array       # (N,) attack cooldown
+    enemy_pos: jax.Array     # (M, 2)
+    enemy_health: jax.Array  # (M,)
+    enemy_cd: jax.Array      # (M,)
+    time: jax.Array
+
+
+_MOVES = jnp.array(
+    [[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, -1.0], [-1.0, 0.0]]
+)
+
+
+class Skirmish(MultiAgentEnv):
+    def __init__(
+        self,
+        num_allies: int = 3,
+        num_enemies: int = 3,
+        max_steps: int = 64,
+        arena: float = 8.0,
+        move_speed: float = 0.5,
+        attack_range: float = 2.0,
+        attack_damage: float = 1.0,
+        attack_cooldown: int = 2,
+        max_health: float = 5.0,
+    ):
+        self.num_agents = num_allies
+        self.num_allies = num_allies
+        self.num_enemies = num_enemies
+        self.agents = [f"ally_{i}" for i in range(num_allies)]
+        self.max_steps = max_steps
+        self.arena = arena
+        self.move_speed = move_speed
+        self.attack_range = attack_range
+        self.attack_damage = attack_damage
+        self.attack_cooldown = attack_cooldown
+        self.max_health = max_health
+        self.num_actions = 5 + num_enemies
+        # own (2 pos + health + cd) + allies (N-1)*(2 rel + health + alive)
+        # + enemies M*(2 rel + health + alive)
+        self.obs_dim = 4 + (num_allies - 1) * 4 + num_enemies * 4
+        # total reward available: all enemy health + kill + win bonuses
+        self._max_reward = (
+            num_enemies * max_health + num_enemies * 0.5 + 1.0
+        )
+
+    # ------------------------------------------------------------------
+    def reset(self, key: jax.Array):
+        k_a, k_e = jax.random.split(key)
+        half = self.arena / 2
+        ally_pos = jax.random.uniform(
+            k_a, (self.num_allies, 2), minval=jnp.array([-half, -half]),
+            maxval=jnp.array([-half / 2, half]),
+        )
+        enemy_pos = jax.random.uniform(
+            k_e, (self.num_enemies, 2), minval=jnp.array([half / 2, -half]),
+            maxval=jnp.array([half, half]),
+        )
+        state = SkirmishState(
+            ally_pos=ally_pos,
+            ally_health=jnp.full(self.num_allies, self.max_health),
+            ally_cd=jnp.zeros(self.num_allies, jnp.int32),
+            enemy_pos=enemy_pos,
+            enemy_health=jnp.full(self.num_enemies, self.max_health),
+            enemy_cd=jnp.zeros(self.num_enemies, jnp.int32),
+            time=jnp.asarray(0, jnp.int32),
+        )
+        return self.get_obs(state), state
+
+    # ------------------------------------------------------------------
+    def step(self, key: jax.Array, state: SkirmishState, actions: Dict):
+        acts = jnp.stack([actions[a] for a in self.agents])  # (N,)
+        ally_alive = state.ally_health > 0
+        enemy_alive = state.enemy_health > 0
+
+        # -- ally movement (move actions 0..4; dead units frozen) -------
+        move_idx = jnp.clip(acts, 0, 4) * (acts < 5)
+        delta = _MOVES[move_idx] * self.move_speed
+        ally_pos = jnp.clip(
+            state.ally_pos + delta * ally_alive[:, None],
+            -self.arena, self.arena,
+        )
+
+        # -- ally attacks (action 5+j attacks enemy j) -------------------
+        dists = jnp.linalg.norm(
+            ally_pos[:, None, :] - state.enemy_pos[None, :, :], axis=-1
+        )  # (N, M)
+        target = jnp.clip(acts - 5, 0, self.num_enemies - 1)
+        wants_attack = acts >= 5
+        can_attack = (
+            wants_attack
+            & ally_alive
+            & (state.ally_cd == 0)
+            & enemy_alive[target]
+            & (dists[jnp.arange(self.num_allies), target] <= self.attack_range)
+        )
+        dmg_matrix = (
+            jax.nn.one_hot(target, self.num_enemies)
+            * can_attack[:, None]
+            * self.attack_damage
+        )  # (N, M)
+        enemy_damage = dmg_matrix.sum(axis=0)
+        enemy_health = jnp.maximum(state.enemy_health - enemy_damage, 0.0)
+        killed = (state.enemy_health > 0) & (enemy_health <= 0)
+        ally_cd = jnp.where(
+            can_attack, self.attack_cooldown, jnp.maximum(state.ally_cd - 1, 0)
+        )
+
+        # -- enemy heuristic: chase closest living ally, attack in range -
+        ally_alive_f = state.ally_health > 0
+        e_dists = jnp.linalg.norm(
+            state.enemy_pos[:, None, :] - ally_pos[None, :, :], axis=-1
+        )  # (M, N)
+        e_dists_masked = jnp.where(ally_alive_f[None, :], e_dists, 1e9)
+        closest = jnp.argmin(e_dists_masked, axis=1)  # (M,)
+        closest_dist = e_dists_masked[jnp.arange(self.num_enemies), closest]
+        new_enemy_alive = enemy_health > 0
+
+        chase_dir = ally_pos[closest] - state.enemy_pos
+        chase_norm = jnp.linalg.norm(chase_dir, axis=-1, keepdims=True) + 1e-8
+        enemy_pos = jnp.where(
+            (new_enemy_alive & (closest_dist > self.attack_range * 0.8))[:, None],
+            state.enemy_pos + chase_dir / chase_norm * self.move_speed,
+            state.enemy_pos,
+        )
+        enemy_pos = jnp.clip(enemy_pos, -self.arena, self.arena)
+
+        e_attacks = (
+            new_enemy_alive
+            & (state.enemy_cd == 0)
+            & (closest_dist <= self.attack_range)
+            & ally_alive_f[closest]
+        )
+        ally_damage = (
+            jax.nn.one_hot(closest, self.num_allies)
+            * e_attacks[:, None]
+            * self.attack_damage
+        ).sum(axis=0)
+        ally_health = jnp.maximum(state.ally_health - ally_damage, 0.0)
+        enemy_cd = jnp.where(
+            e_attacks, self.attack_cooldown, jnp.maximum(state.enemy_cd - 1, 0)
+        )
+
+        # -- reward (SMAC-style shaped, normalized to ~[0, 1] total) -----
+        all_enemies_dead = (enemy_health <= 0).all()
+        reward = (
+            enemy_damage.sum()
+            + 0.5 * killed.sum()
+            + 1.0 * all_enemies_dead.astype(jnp.float32)
+        ) / self._max_reward
+
+        new_time = state.time + 1
+        all_allies_dead = (ally_health <= 0).all()
+        done = all_enemies_dead | all_allies_dead | (new_time >= self.max_steps)
+
+        stepped = SkirmishState(
+            ally_pos=ally_pos,
+            ally_health=ally_health,
+            ally_cd=ally_cd,
+            enemy_pos=enemy_pos,
+            enemy_health=enemy_health,
+            enemy_cd=enemy_cd,
+            time=new_time,
+        )
+        obs_re, state_re = self.reset(key)
+        new_state = jax.tree_util.tree_map(
+            lambda re, st: jax.lax.select(done, re, st), state_re, stepped
+        )
+        obs_st = self.get_obs(stepped)
+        obs = jax.tree_util.tree_map(
+            lambda re, st: jax.lax.select(done, re, st), obs_re, obs_st
+        )
+
+        rewards = {a: reward for a in self.agents}
+        rewards["__all__"] = reward
+        dones = {a: done for a in self.agents}
+        dones["__all__"] = done
+        info = {"won_episode": all_enemies_dead.astype(jnp.float32)}
+        return obs, new_state, rewards, dones, info
+
+    # ------------------------------------------------------------------
+    def get_obs(self, state: SkirmishState) -> Dict:
+        ally_alive = (state.ally_health > 0).astype(jnp.float32)
+        enemy_alive = (state.enemy_health > 0).astype(jnp.float32)
+
+        def single(i):
+            own = jnp.concatenate(
+                [
+                    state.ally_pos[i] / self.arena,
+                    jnp.array(
+                        [
+                            state.ally_health[i] / self.max_health,
+                            state.ally_cd[i] / self.attack_cooldown,
+                        ]
+                    ),
+                ]
+            )
+
+            def unit_feats(pos, health, alive):
+                rel = (pos - state.ally_pos[i]) / self.arena * alive
+                return jnp.concatenate(
+                    [rel, jnp.array([health / self.max_health * alive, alive])]
+                )
+
+            allies = [
+                unit_feats(state.ally_pos[j], state.ally_health[j], ally_alive[j])
+                for j in range(self.num_allies)
+                if j != i
+            ]
+            enemies = [
+                unit_feats(
+                    state.enemy_pos[j], state.enemy_health[j], enemy_alive[j]
+                )
+                for j in range(self.num_enemies)
+            ]
+            return jnp.concatenate([own] + allies + enemies)
+
+        return {a: single(i) for i, a in enumerate(self.agents)}
+
+    def get_avail_actions(self, state: SkirmishState) -> Dict:
+        dists = jnp.linalg.norm(
+            state.ally_pos[:, None, :] - state.enemy_pos[None, :, :], axis=-1
+        )
+        attackable = (
+            (state.enemy_health > 0)[None, :]
+            & (dists <= self.attack_range)
+        )  # (N, M)
+        moves = jnp.ones((self.num_allies, 5))
+        mask = jnp.concatenate([moves, attackable.astype(jnp.float32)], axis=1)
+        # dead allies: only noop
+        dead = state.ally_health <= 0
+        noop_only = jnp.zeros_like(mask).at[:, 0].set(1.0)
+        mask = jnp.where(dead[:, None], noop_only, mask)
+        return {a: mask[i] for i, a in enumerate(self.agents)}
+
+    def observation_space(self, agent: str) -> spaces.Box:
+        return spaces.Box(-2.0, 2.0, (self.obs_dim,), jnp.float32)
+
+    def action_space(self, agent: str) -> spaces.Discrete:
+        return spaces.Discrete(self.num_actions)

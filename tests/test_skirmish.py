@@ -1,0 +1,114 @@
+"""Skirmish (SMAX-class micro-battle) tests: masks, combat, VDN integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from purejaxql_tpu.envs.marl import make_marl
+from purejaxql_tpu.core.config import compose
+from purejaxql_tpu.algo.pqn_vdn import make_train
+
+
+def test_masks_track_range_and_death():
+    env = make_marl("Skirmish-v0")
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    avail = env.get_avail_actions(state)
+    # at spawn, enemies are across the arena: attacks illegal, moves legal
+    assert np.asarray(avail["ally_0"][:5]).all()
+    assert not np.asarray(avail["ally_0"][5:]).any()
+
+    # teleport ally 0 next to enemy 0: attack_0 becomes legal
+    state = state.replace(
+        ally_pos=state.ally_pos.at[0].set(state.enemy_pos[0] + 0.5)
+    )
+    avail = env.get_avail_actions(state)
+    assert float(avail["ally_0"][5]) == 1.0
+
+    # kill enemy 0: attack_0 illegal again
+    state = state.replace(enemy_health=state.enemy_health.at[0].set(0.0))
+    avail = env.get_avail_actions(state)
+    assert float(avail["ally_0"][5]) == 0.0
+
+    # dead ally: noop only
+    state = state.replace(ally_health=state.ally_health.at[0].set(0.0))
+    avail = env.get_avail_actions(state)
+    np.testing.assert_array_equal(
+        np.asarray(avail["ally_0"]), [1, 0, 0, 0, 0, 0, 0, 0]
+    )
+
+
+def test_combat_deals_damage_and_rewards():
+    env = make_marl("Skirmish-v0")
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    state = state.replace(
+        ally_pos=jnp.stack([state.enemy_pos[0] + 0.3] * 3)
+    )
+    actions = {a: jnp.asarray(5) for a in env.agents}  # all attack enemy 0
+    obs, state2, rew, done, info = env.step(jax.random.PRNGKey(1), state, actions)
+    assert float(rew["__all__"]) > 0  # damage reward
+    assert float(state2.enemy_health[0]) < float(state.enemy_health[0])
+
+
+def test_win_ends_episode_with_bonus():
+    env = make_marl("Skirmish-v0", num_allies=2, num_enemies=1)
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    state = state.replace(
+        ally_pos=jnp.stack([state.enemy_pos[0] + 0.3] * 2),
+        enemy_health=state.enemy_health.at[0].set(1.0),
+    )
+    actions = {a: jnp.asarray(5) for a in env.agents}
+    obs, state2, rew, done, info = env.step(jax.random.PRNGKey(1), state, actions)
+    assert bool(done["__all__"])
+    assert float(info["won_episode"]) == 1.0
+    assert float(rew["__all__"]) > 0.2  # kill + win bonus
+
+
+def test_enemy_heuristic_chases():
+    env = make_marl("Skirmish-v0")
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    d0 = np.linalg.norm(
+        np.asarray(state.enemy_pos[0] - state.ally_pos).min(axis=0)
+    )
+    actions = {a: jnp.asarray(0) for a in env.agents}
+    for t in range(5):
+        obs, state, rew, done, info = env.step(
+            jax.random.PRNGKey(t), state, actions
+        )
+    dists = np.linalg.norm(
+        np.asarray(state.enemy_pos)[:, None] - np.asarray(state.ally_pos)[None],
+        axis=-1,
+    )
+    assert dists.min() < 8.0  # enemies closed distance
+
+
+def test_vdn_trains_on_skirmish():
+    config = compose(
+        alg="pqn_vdn_skirmish",
+        overrides=[
+            "TOTAL_TIMESTEPS=16384", "NUM_ENVS=16", "NUM_STEPS=32",
+            "NUM_MINIBATCHES=4", "NUM_EPOCHS=1", "HIDDEN_SIZE=32",
+            "TEST_DURING_TRAINING=False",
+        ],
+    )
+    rngs = jax.random.split(jax.random.PRNGKey(0), 1)
+    outs = jax.block_until_ready(jax.jit(jax.vmap(make_train(config)))(rngs))
+    assert np.isfinite(np.asarray(outs["metrics"]["td_loss"])).all()
+
+
+@pytest.mark.slow
+def test_vdn_learns_skirmish():
+    """Win rate / returns should improve over training."""
+    config = compose(
+        alg="pqn_vdn_skirmish",
+        overrides=[
+            "TOTAL_TIMESTEPS=500000", "NUM_ENVS=64",
+            "HIDDEN_SIZE=128", "TEST_DURING_TRAINING=False",
+        ],
+    )
+    rngs = jax.random.split(jax.random.PRNGKey(0), 1)
+    outs = jax.block_until_ready(jax.jit(jax.vmap(make_train(config)))(rngs))
+    rets = np.asarray(outs["metrics"]["returned_episode_returns"][0])
+    early = rets[: len(rets) // 10].mean()
+    late = rets[-len(rets) // 10:].mean()
+    assert late > early * 1.5, (early, late)
