@@ -156,7 +156,13 @@ def make_train(
     metric_callback = logger.make_callback() if logger is not None else None
     collect_metrics = config.get("COLLECT_METRICS", True)
 
-    def train(rng: jax.Array):
+    def train(rng: jax.Array, runner_state=None):
+        """Run NUM_UPDATES updates. With `runner_state` (from a previous
+        invocation's outs["runner_state"]), training CONTINUES from that
+        state instead of initializing — the fused-program continuation
+        used by algo.segmented to split very long runs into bounded
+        device-program executions (schedules key off the carried
+        n_updates counter, so eps/LR trajectories are seamless)."""
         original_rng = rng[0]
 
         eps_scheduler = epsilon_schedule(
@@ -429,14 +435,15 @@ def make_train(
             )
             return done_infos
 
-        rng, _rng = jax.random.split(rng)
-        test_metrics = get_test_metrics(train_state, _rng)
+        if runner_state is None:
+            rng, _rng = jax.random.split(rng)
+            test_metrics = get_test_metrics(train_state, _rng)
 
-        rng, _rng = jax.random.split(rng)
-        expl_state = vmap_reset(_rng)
+            rng, _rng = jax.random.split(rng)
+            expl_state = vmap_reset(_rng)
 
-        rng, _rng = jax.random.split(rng)
-        runner_state = (train_state, expl_state, test_metrics, _rng)
+            rng, _rng = jax.random.split(rng)
+            runner_state = (train_state, expl_state, test_metrics, _rng)
 
         runner_state, metrics = jax.lax.scan(
             _update_step, runner_state, None, config["NUM_UPDATES"]
