@@ -96,7 +96,9 @@ def make_train(
     use_callback = config.get("LOG_VIA_CALLBACK", False)
     collect_metrics = config.get("COLLECT_METRICS", True)
 
-    def train(rng: jax.Array):
+    def train(rng: jax.Array, runner_state=None):
+        """With `runner_state` from a previous invocation, continues the
+        run (fused-program segmentation; see algo/segmented.py)."""
         original_rng = rng[0]
 
         eps_scheduler = epsilon_schedule(
@@ -393,31 +395,34 @@ def make_train(
                 infos,
             )
 
-        rng, _rng = jax.random.split(rng)
-        test_metrics = get_test_metrics(train_state, _rng)
+        if runner_state is None:
+            rng, _rng = jax.random.split(rng)
+            test_metrics = get_test_metrics(train_state, _rng)
 
-        rng, _rng = jax.random.split(rng)
-        obs, env_state = vmap_reset(_rng)
-        expl_state = (
-            network.initialize_carry(config["NUM_ENVS"]),
-            obs,
-            jnp.zeros((config["NUM_ENVS"]), dtype=bool),
-            jnp.zeros((config["NUM_ENVS"]), dtype=jnp.int32),
-            env_state,
-        )
+            rng, _rng = jax.random.split(rng)
+            obs, env_state = vmap_reset(_rng)
+            expl_state = (
+                network.initialize_carry(config["NUM_ENVS"]),
+                obs,
+                jnp.zeros((config["NUM_ENVS"]), dtype=bool),
+                jnp.zeros((config["NUM_ENVS"]), dtype=jnp.int32),
+                env_state,
+            )
 
-        # random-policy prefill of the memory window
-        prefill_step = _step_env_factory(
-            train_state, config["NUM_ENVS"], vmap_step, 1.0
-        )
-        rng, _rng = jax.random.split(rng)
-        (*expl_state, rng), (memory_transitions, _) = jax.lax.scan(
-            prefill_step, (*expl_state, _rng), None, memory_len
-        )
-        expl_state = tuple(expl_state)
+            # random-policy prefill of the memory window
+            prefill_step = _step_env_factory(
+                train_state, config["NUM_ENVS"], vmap_step, 1.0
+            )
+            rng, _rng = jax.random.split(rng)
+            (*expl_state, rng), (memory_transitions, _) = jax.lax.scan(
+                prefill_step, (*expl_state, _rng), None, memory_len
+            )
+            expl_state = tuple(expl_state)
 
-        rng, _rng = jax.random.split(rng)
-        runner_state = (train_state, memory_transitions, expl_state, test_metrics, _rng)
+            rng, _rng = jax.random.split(rng)
+            runner_state = (
+                train_state, memory_transitions, expl_state, test_metrics, _rng
+            )
         runner_state, metrics = jax.lax.scan(
             _update_step, runner_state, None, config["NUM_UPDATES"]
         )
