@@ -1,0 +1,66 @@
+"""Coverage for the remaining wrappers: Transform*, VecEnv, reward
+normalization, frozen-stat eval stepping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from purejaxql_tpu.envs import make, wrappers
+
+
+def test_transform_observation():
+    env, params = make("CartPole-v1")
+    env = wrappers.TransformObservation(env, lambda o: o * 2.0)
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    raw_env, _ = make("CartPole-v1")
+    raw_obs, _ = raw_env.reset(jax.random.PRNGKey(0), params)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(raw_obs) * 2.0)
+
+
+def test_transform_reward():
+    env, params = make("CartPole-v1")
+    env = wrappers.TransformReward(env, lambda r: r * 10.0)
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    obs, state, r, d, _ = env.step(jax.random.PRNGKey(1), state, jnp.asarray(0), params)
+    assert float(r) == 10.0
+
+
+def test_vec_env_explicit_keys():
+    env, params = make("CartPole-v1")
+    venv = wrappers.VecEnv(env)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    obs, state = venv.reset(keys, params)
+    assert obs.shape == (4, 4)
+    obs2, state, r, d, _ = venv.step(keys, state, jnp.zeros(4, jnp.int32), params)
+    assert r.shape == (4,)
+    # per-env keys: different keys -> different resets
+    assert not np.allclose(np.asarray(obs[0]), np.asarray(obs[1]))
+
+
+def test_normalize_reward_running_scale():
+    env, params = make("Pendulum-v1")
+    venv = wrappers.NormalizeVecReward(wrappers.VecEnv(env), gamma=0.99)
+    keys = jax.random.split(jax.random.PRNGKey(0), 32)
+    obs, state = venv.reset(keys, params)
+    rs = []
+    for i in range(30):
+        keys = jax.random.split(jax.random.PRNGKey(i), 32)
+        actions = jax.random.uniform(jax.random.PRNGKey(100 + i), (32, 1),
+                                     minval=-2, maxval=2)
+        obs, state, r, d, _ = venv.step(keys, state, actions, params)
+        rs.append(np.asarray(r))
+    # normalized rewards should be O(1) scale, not Pendulum's raw ~-10
+    assert 0.05 < np.abs(np.concatenate(rs)).mean() < 5.0
+
+
+def test_normalize_obs_eval_step_frozen():
+    env, params = make("CartPole-v1")
+    venv = wrappers.NormalizeVecObservation(wrappers.BatchEnv(env, num_envs=16))
+    obs, state = venv.reset(jax.random.PRNGKey(0), params)
+    mean_before = np.asarray(state.mean).copy()
+    actions = jnp.zeros(16, jnp.int32)
+    obs, state2, r, d, _ = venv.eval_step(jax.random.PRNGKey(1), state, actions, params)
+    np.testing.assert_array_equal(np.asarray(state2.mean), mean_before)
+    # the training step DOES update stats
+    obs, state3, r, d, _ = venv.step(jax.random.PRNGKey(1), state, actions, params)
+    assert not np.array_equal(np.asarray(state3.mean), mean_before)
