@@ -51,6 +51,8 @@ class Env {
                     float* reward, uint8_t* done) = 0;
   virtual int obs_dim() const = 0;
   virtual int num_actions() const = 0;
+  // Logical observation shape (flattened into obs_dim); rank <= 3.
+  virtual std::vector<int> obs_shape() const { return {obs_dim()}; }
 };
 
 // ----------------------------------------------------------------------
@@ -205,9 +207,127 @@ class Acrobot : public Env {
   int t_ = 0;
 };
 
+// ----------------------------------------------------------------------
+// Breakout-MinAtar (game logic mirrors envs/minatar/breakout.py: 10x10
+// grid, channels [paddle, ball, trail, brick], 3 actions, strike latch,
+// paddle-corner re-aim, wall respawn). A real *game* in the host pool so
+// the C++-envs + CNN training path exercises the same architecture the
+// reference uses for Atari (pqn_atari.py).
+// ----------------------------------------------------------------------
+class MinAtarBreakout : public Env {
+ public:
+  void reset(std::mt19937_64& rng, float* obs) override {
+    int start = static_cast<int>(rng() & 1);
+    ball_x_ = start == 0 ? 0 : 9;
+    dir_ = start == 0 ? 2 : 3;
+    ball_y_ = 3;
+    pos_ = 4;
+    last_x_ = ball_x_;
+    last_y_ = ball_y_;
+    strike_ = false;
+    t_ = 0;
+    for (int y = 0; y < 10; ++y)
+      for (int x = 0; x < 10; ++x) brick_[y][x] = (y >= 1 && y <= 3) ? 1 : 0;
+    write_obs(obs);
+  }
+
+  void step(std::mt19937_64& rng, int action, float* obs, float* reward,
+            uint8_t* done) override {
+    static const int kDx[4] = {-1, 1, 1, -1};
+    static const int kDy[4] = {-1, -1, 1, 1};
+    static const int kBounceX[4] = {1, 0, 3, 2};
+    static const int kBounceY[4] = {3, 2, 1, 0};
+    static const int kBounceCorner[4] = {2, 3, 0, 1};
+
+    if (action == 1) pos_ = std::max(0, pos_ - 1);
+    if (action == 2) pos_ = std::min(9, pos_ + 1);
+
+    last_x_ = ball_x_;
+    last_y_ = ball_y_;
+    int nx = ball_x_ + kDx[dir_];
+    int ny = ball_y_ + kDy[dir_];
+    float r = 0.0f;
+    bool terminal = false;
+
+    if (nx < 0 || nx > 9) {
+      nx = std::clamp(nx, 0, 9);
+      dir_ = kBounceX[dir_];
+    }
+    if (ny < 0) {
+      ny = 0;
+      dir_ = kBounceY[dir_];
+    }
+    bool hit_brick = ny >= 0 && ny <= 9 && brick_[ny][nx] == 1;
+    if (hit_brick) {
+      if (!strike_) {
+        r += 1.0f;
+        strike_ = true;
+        brick_[ny][nx] = 0;
+        dir_ = kBounceY[dir_];
+        ny = last_y_;
+      }
+    } else if (ny == 9) {
+      int total = 0;
+      for (auto& row : brick_)
+        for (int v : row) total += v;
+      if (total == 0)
+        for (int y = 1; y <= 3; ++y)
+          for (int x = 0; x < 10; ++x) brick_[y][x] = 1;
+      if (ball_x_ == pos_) {
+        dir_ = kBounceY[dir_];
+        ny = last_y_;
+      } else if (nx == pos_) {
+        dir_ = kBounceCorner[dir_];
+        ny = last_y_;
+      } else {
+        terminal = true;
+      }
+    }
+    if (!hit_brick) strike_ = false;
+
+    ball_x_ = nx;
+    ball_y_ = ny;
+    ++t_;
+    terminal = terminal || t_ >= 1000;
+
+    *reward = r;
+    *done = terminal ? 1 : 0;
+    if (terminal) {
+      reset(rng, obs);
+    } else {
+      write_obs(obs);
+    }
+  }
+
+  int obs_dim() const override { return 10 * 10 * 4; }
+  int num_actions() const override { return 3; }
+  std::vector<int> obs_shape() const override { return {10, 10, 4}; }
+
+ private:
+  void write_obs(float* obs) const {
+    std::memset(obs, 0, sizeof(float) * 400);
+    auto at = [&](int y, int x, int c) -> float& {
+      return obs[(y * 10 + x) * 4 + c];
+    };
+    at(9, pos_, 0) = 1.0f;
+    at(ball_y_, ball_x_, 1) = 1.0f;
+    at(last_y_, last_x_, 2) = 1.0f;
+    for (int y = 0; y < 10; ++y)
+      for (int x = 0; x < 10; ++x)
+        if (brick_[y][x]) at(y, x, 3) = 1.0f;
+  }
+
+  int ball_x_ = 0, ball_y_ = 3, dir_ = 2, pos_ = 4;
+  int last_x_ = 0, last_y_ = 3;
+  bool strike_ = false;
+  int t_ = 0;
+  int brick_[10][10] = {};
+};
+
 std::unique_ptr<Env> make_env(const std::string& name) {
   if (name == "CartPole-v1") return std::make_unique<CartPole>();
   if (name == "Acrobot-v1") return std::make_unique<Acrobot>();
+  if (name == "Breakout-MinAtar") return std::make_unique<MinAtarBreakout>();
   return nullptr;
 }
 
@@ -225,6 +345,7 @@ class Pool {
     }
     obs_dim_ = envs_[0]->obs_dim();
     num_actions_ = envs_[0]->num_actions();
+    obs_shape_ = envs_[0]->obs_shape();
     workers_.reserve(num_threads_);
     for (int w = 0; w < num_threads_; ++w) {
       workers_.emplace_back([this, w] { worker_loop(w); });
@@ -245,6 +366,7 @@ class Pool {
   int obs_dim() const { return obs_dim_; }
   int num_actions() const { return num_actions_; }
   int num_envs() const { return num_envs_; }
+  const std::vector<int>& obs_shape() const { return obs_shape_; }
 
   void reset(float* obs) {
     run_round([this, obs](int i) {
@@ -299,6 +421,7 @@ class Pool {
   int num_threads_;
   int obs_dim_ = 0;
   int num_actions_ = 0;
+  std::vector<int> obs_shape_;
   std::vector<std::unique_ptr<Env>> envs_;
   std::vector<std::mt19937_64> rngs_;
   std::vector<std::thread> workers_;
@@ -337,6 +460,15 @@ int eh_num_actions(void* handle) {
 
 int eh_num_envs(void* handle) {
   return static_cast<Pool*>(handle)->num_envs();
+}
+
+int eh_obs_rank(void* handle) {
+  return static_cast<int>(static_cast<Pool*>(handle)->obs_shape().size());
+}
+
+void eh_obs_shape(void* handle, int32_t* dims) {
+  const auto& shape = static_cast<Pool*>(handle)->obs_shape();
+  for (size_t i = 0; i < shape.size(); ++i) dims[i] = shape[i];
 }
 
 void eh_reset(void* handle, float* obs) {

@@ -59,8 +59,14 @@ def make_train(config: Dict[str, Any], pool: Optional[HostEnvPool] = None):
     assert pool.num_envs == config["NUM_ENVS"]
     reset_fn, step_fn = make_callback_env(pool)
 
-    network = make_q_network(config, pool.num_actions, (pool.obs_dim,))
+    # grid games (rank-3 obs) get the CNN unless the config pins ARCH —
+    # the pqn_atari shape: C++ envs + conv Q-net
+    obs_shape = pool.obs_shape
+    network = make_q_network(config, pool.num_actions, obs_shape)
     rew_scale = config.get("REW_SCALE", 1.0)
+
+    def shape_obs(flat_obs):
+        return flat_obs.reshape(flat_obs.shape[0], *obs_shape)
 
     def train(rng: jax.Array):
         eps_scheduler = epsilon_schedule(
@@ -70,7 +76,7 @@ def make_train(config: Dict[str, Any], pool: Optional[HostEnvPool] = None):
         )
 
         def create_agent(rng):
-            init_x = jnp.zeros((1, pool.obs_dim))
+            init_x = jnp.zeros((1, *obs_shape))
             variables = network.init(rng, init_x, train=False)
             tx = make_optimizer(config["MAX_GRAD_NORM"], lr_schedule(config))
             return PQNTrainState.create(
@@ -85,6 +91,7 @@ def make_train(config: Dict[str, Any], pool: Optional[HostEnvPool] = None):
 
         # host reset outside the scan (stateful external envs)
         token, init_obs = reset_fn()
+        init_obs = shape_obs(init_obs)
 
         def apply_eval(train_state, obs):
             return network.apply(
@@ -108,6 +115,7 @@ def make_train(config: Dict[str, Any], pool: Optional[HostEnvPool] = None):
                 )
                 action = eps_greedy_batch(rng_a, q_vals, eps)
                 token2, new_obs, reward, done = step_fn(token, action)
+                new_obs = shape_obs(new_obs)
                 transition = Transition(
                     obs=last_obs,
                     action=action,

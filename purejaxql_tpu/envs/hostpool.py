@@ -60,6 +60,9 @@ def _load_library() -> ctypes.CDLL:
     lib.eh_num_actions.restype = ctypes.c_int
     lib.eh_num_envs.argtypes = [ctypes.c_void_p]
     lib.eh_num_envs.restype = ctypes.c_int
+    lib.eh_obs_rank.argtypes = [ctypes.c_void_p]
+    lib.eh_obs_rank.restype = ctypes.c_int
+    lib.eh_obs_shape.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
     lib.eh_reset.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
     lib.eh_step.argtypes = [
         ctypes.c_void_p,
@@ -93,6 +96,11 @@ class HostEnvPool:
         self.num_envs = num_envs
         self.obs_dim = lib.eh_obs_dim(self._handle)
         self.num_actions = lib.eh_num_actions(self._handle)
+        rank = lib.eh_obs_rank(self._handle)
+        dims = (ctypes.c_int32 * rank)()
+        lib.eh_obs_shape(self._handle, dims)
+        # logical (unflattened) obs shape, e.g. (10, 10, 4) for grid games
+        self.obs_shape = tuple(int(d) for d in dims)
 
     def reset(self) -> np.ndarray:
         obs = np.empty((self.num_envs, self.obs_dim), np.float32)

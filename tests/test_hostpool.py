@@ -127,3 +127,44 @@ def test_host_matches_device_dynamics():
             host_obs[0], np.asarray(obs), rtol=1e-5, atol=1e-5
         )
     pool.close()
+
+
+def test_host_breakout_grid_obs():
+    """The C++ game env exposes rank-3 obs; random play scores and dies
+    like the in-graph MinAtar Breakout."""
+    from purejaxql_tpu.envs.hostpool import HostEnvPool
+
+    pool = HostEnvPool("Breakout-MinAtar", num_envs=32, seed=0)
+    assert pool.obs_shape == (10, 10, 4)
+    assert pool.num_actions == 3
+    obs = pool.reset()
+    binary = np.isin(obs, [0.0, 1.0]).all()
+    assert binary
+    total_r, total_d = 0.0, 0
+    for i in range(300):
+        obs, r, d = pool.step(np.random.randint(0, 3, 32))
+        total_r += r.sum()
+        total_d += d.sum()
+    assert total_r > 0, "no bricks hit"
+    assert total_d > 50, "episodes never end"
+    pool.close()
+
+
+def test_host_cnn_training():
+    """CNN Q-net over C++ grid envs inside jit — the pqn_atari shape."""
+    import jax
+    from purejaxql_tpu.core.config import compose
+    from purejaxql_tpu.algo.pqn_host import make_train
+
+    config = compose(
+        alg="pqn_minatar",
+        overrides=[
+            "ENV_NAME=Breakout-MinAtar", "TOTAL_TIMESTEPS=16384",
+            "TOTAL_TIMESTEPS_DECAY=16384", "NUM_ENVS=32", "NUM_STEPS=16",
+            "NUM_MINIBATCHES=4", "NUM_EPOCHS=1", "TEST_DURING_TRAINING=False",
+        ],
+    )
+    outs = jax.block_until_ready(
+        jax.jit(make_train(config))(jax.random.PRNGKey(0))
+    )
+    assert np.isfinite(np.asarray(outs["metrics"]["td_loss"])).all()
