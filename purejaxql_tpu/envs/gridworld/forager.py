@@ -7,8 +7,10 @@ the reference trains on (`ENV_NAME: Craftax-Symbolic-v1`,
 generated worlds (expensive resets -> pairs with OptimisticResetVecEnv),
 resource gathering gated by tool tiers, crafting at stations, hunger /
 thirst / energy / health survival dynamics, day-night cycles with hostile
-mobs, and a 22-achievement reward structure (+1 on each first-time
-achievement per episode, +-0.1 per health point gained/lost).
+mobs, a cave level (craftax-style vertical depth: ladder pairs connect
+the surface to stone passages with richer ore veins and lava hazards),
+and a 23-achievement reward structure (+1 on each first-time achievement
+per episode, +-0.1 per health point gained/lost).
 
 Observations are symbolic (craftax-symbolic-style): a flattened float32
 vector of a 9x9 one-hot local block/mob view plus inventory, needs,
@@ -40,7 +42,7 @@ ACHIEVEMENTS = [
     "defeat_zombie", "collect_stone", "place_stone", "eat_plant",
     "defeat_skeleton", "collect_coal", "make_stone_pickaxe",
     "make_stone_sword", "wake_up", "place_furnace", "collect_iron",
-    "make_iron_pickaxe", "make_iron_sword", "collect_diamond",
+    "make_iron_pickaxe", "make_iron_sword", "collect_diamond", "enter_cave",
 ]
 NUM_ACHIEVEMENTS = len(ACHIEVEMENTS)
 _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
@@ -70,14 +72,15 @@ _PLACEABLE = jnp.zeros(W.NUM_BLOCK_TYPES, bool).at[
 ].set(True)
 
 VIEW = 9  # local obs window
-OBS_DIM = VIEW * VIEW * (W.NUM_BLOCK_TYPES + 3) + NUM_INV + 4 + 4 + 2 + 1
+OBS_DIM = VIEW * VIEW * (W.NUM_BLOCK_TYPES + 3) + NUM_INV + 4 + 4 + 2 + 1 + 1
 
 
 @struct.dataclass
 class ForagerState:
-    blocks: jax.Array          # (48, 48) int32
-    growth: jax.Array          # (48, 48) int32 sapling growth timers
-    pos: jax.Array             # (2,) int32 (y, x)
+    blocks: jax.Array          # (2, 56, 56) int8: [surface, cave], padded
+    growth: jax.Array          # (2, 56, 56) int8 sapling growth timers
+    pos: jax.Array             # (2,) int32 (y, x) in padded coords
+    level: jax.Array           # int32: 0 surface, 1 cave
     facing: jax.Array          # int32 0..3
     health: jax.Array
     food: jax.Array
@@ -95,6 +98,7 @@ class ForagerState:
     cow_alive: jax.Array
     cow_health: jax.Array
     zombie_pos: jax.Array
+    zombie_level: jax.Array    # (N,) which map level each zombie is on
     zombie_alive: jax.Array
     zombie_health: jax.Array
     skel_pos: jax.Array
@@ -137,16 +141,18 @@ class Forager(Environment):
         cow_pos = jax.random.randint(
             k_cow, (N_COWS, 2), W.PAD + 4, W.PAD + W.WORLD_SIZE - 4
         )
-        on_grass = blocks[cow_pos[:, 0], cow_pos[:, 1]] == W.GRASS
+        on_grass = blocks[W.SURFACE, cow_pos[:, 0], cow_pos[:, 1]] == W.GRASS
         skel_pos = jax.random.randint(
             k_skel, (N_SKELETONS, 2), W.PAD + 2, W.PAD + W.WORLD_SIZE - 2
         )
-        on_stone = blocks[skel_pos[:, 0], skel_pos[:, 1]] == W.STONE
+        # skeletons haunt the cave passages
+        on_open_cave = blocks[W.CAVE, skel_pos[:, 0], skel_pos[:, 1]] == W.PATH
 
         state = ForagerState(
             blocks=blocks,
             growth=jnp.zeros_like(blocks),
             pos=jnp.array([c, c], jnp.int32),
+            level=jnp.asarray(W.SURFACE, jnp.int32),
             facing=jnp.asarray(2, jnp.int32),
             health=jnp.asarray(9, jnp.int32),
             food=jnp.asarray(9, jnp.int32),
@@ -164,10 +170,11 @@ class Forager(Environment):
             cow_alive=on_grass,
             cow_health=jnp.full(N_COWS, 3, jnp.int32),
             zombie_pos=jnp.zeros((N_ZOMBIES, 2), jnp.int32),
+            zombie_level=jnp.zeros(N_ZOMBIES, jnp.int32),
             zombie_alive=jnp.zeros(N_ZOMBIES, bool),
             zombie_health=jnp.full(N_ZOMBIES, 5, jnp.int32),
             skel_pos=skel_pos.astype(jnp.int32),
-            skel_alive=on_stone,
+            skel_alive=on_open_cave,
             skel_health=jnp.full(N_SKELETONS, 3, jnp.int32),
             time=jnp.asarray(0, jnp.int32),
             terminal=jnp.asarray(False),
@@ -181,6 +188,7 @@ class Forager(Environment):
         ach = state.achievements
         inv = state.inventory
         blocks = state.blocks
+        lvl = state.level
 
         sleeping = jnp.logical_and(state.sleeping, action == A_NOOP)
 
@@ -194,13 +202,13 @@ class Forager(Environment):
         facing = jnp.where(is_move, move_dir, state.facing)
         step_vec = _DIRS[facing]
         new_pos = state.pos + step_vec  # border is INVALID: unwalkable
-        target_walkable = _WALKABLE[blocks[new_pos[0], new_pos[1]]]
+        target_walkable = _WALKABLE[blocks[lvl, new_pos[0], new_pos[1]]]
         pos = jnp.where(jnp.logical_and(is_move, target_walkable), new_pos, state.pos)
 
         # facing target tile
         tgt = pos + _DIRS[facing]
         ty, tx = tgt[0], tgt[1]
-        tblock = blocks[ty, tx]
+        tblock = blocks[lvl, ty, tx]
 
         # ---- mob lookups at the target tile --------------------------
         def at_tgt(mob_pos, mob_alive):
@@ -209,9 +217,11 @@ class Forager(Environment):
                 jnp.logical_and(mob_pos[:, 0] == ty, mob_pos[:, 1] == tx),
             )
 
-        cow_here = at_tgt(state.cow_pos, state.cow_alive)
-        zom_here = at_tgt(state.zombie_pos, state.zombie_alive)
-        skel_here = at_tgt(state.skel_pos, state.skel_alive)
+        cow_here = at_tgt(state.cow_pos, state.cow_alive) & (lvl == W.SURFACE)
+        zom_here = at_tgt(state.zombie_pos, state.zombie_alive) & (
+            state.zombie_level == lvl
+        )
+        skel_here = at_tgt(state.skel_pos, state.skel_alive) & (lvl == W.CAVE)
         any_mob = cow_here.any() | zom_here.any() | skel_here.any()
 
         # ---- DO action ----------------------------------------------
@@ -261,6 +271,10 @@ class Forager(Environment):
         got_iron = do_block & (tblock == W.IRON) & has_sp
         got_diamond = do_block & (tblock == W.DIAMOND) & has_ip
         ate_plant = do_block & (tblock == W.PLANT_RIPE)
+        went_down = do_block & (tblock == W.LADDER_DOWN)
+        went_up = do_block & (tblock == W.LADDER_UP)
+        lvl = jnp.where(went_down, W.CAVE, jnp.where(went_up, W.SURFACE, lvl))
+        ach = ach.at[_ACH["enter_cave"]].set(ach[_ACH["enter_cave"]] | went_down)
 
         inv = collect(got_wood, "wood")
         inv = collect(got_sapling, "sapling")
@@ -311,10 +325,12 @@ class Forager(Environment):
         tile_new = jnp.where(placed_stone, W.STONE, tile_new)
         tile_new = jnp.where(placed_table, W.TABLE, tile_new)
         tile_new = jnp.where(placed_furnace, W.FURNACE, tile_new)
-        blocks = blocks.at[ty, tx].set(tile_new.astype(blocks.dtype))
-        growth = state.growth.at[ty, tx].set(
+        # tile writes target the level the action happened on (pre-ladder)
+        alvl = state.level
+        blocks = blocks.at[alvl, ty, tx].set(tile_new.astype(blocks.dtype))
+        growth = state.growth.at[alvl, ty, tx].set(
             jnp.where(
-                ate_plant | placed_plant, 0, state.growth[ty, tx]
+                ate_plant | placed_plant, 0, state.growth[alvl, ty, tx]
             ).astype(state.growth.dtype)
         )
 
@@ -322,7 +338,9 @@ class Forager(Environment):
         py, px = pos[0], pos[1]
         y0 = py - 1  # pos stays inside the padded interior
         x0 = px - 1
-        around = jax.lax.dynamic_slice(blocks, (y0, x0), (3, 3))
+        around = jax.lax.dynamic_slice(
+            blocks, (alvl, y0, x0), (1, 3, 3)
+        )[0]
         near_table = (around == W.TABLE).any()
         near_furnace = (around == W.FURNACE).any()
 
@@ -398,16 +416,16 @@ class Forager(Environment):
         regen_tick = jnp.where(regen_tick >= 30, 0, regen_tick)
 
         # ---- mob behavior -------------------------------------------
-        def random_walk(k, mob_pos, alive, p):
+        def random_walk(k, mob_pos, alive, p, mob_lvl):
             ks = jax.random.split(k, 2)
             dirs = jax.random.randint(ks[0], (mob_pos.shape[0],), 0, 4)
             move = jax.random.uniform(ks[1], (mob_pos.shape[0],)) < p
             step = _DIRS[dirs]
             cand = jnp.clip(mob_pos + step, W.PAD, W.PAD + W.WORLD_SIZE - 1)
-            ok = _WALKABLE[blocks[cand[:, 0], cand[:, 1]]] & move & alive
+            ok = _WALKABLE[blocks[mob_lvl, cand[:, 0], cand[:, 1]]] & move & alive
             return jnp.where(ok[:, None], cand, mob_pos)
 
-        cow_pos = random_walk(k_cow, state.cow_pos, cow_alive, 0.3)
+        cow_pos = random_walk(k_cow, state.cow_pos, cow_alive, 0.3, W.SURFACE)
 
         # zombies: spawn at night near the player, despawn at day
         zk1, zk2 = jax.random.split(k_zspawn)
@@ -415,16 +433,20 @@ class Forager(Environment):
         far_enough = jnp.abs(spawn_offsets).sum(axis=1) >= 5
         spawn_pos = jnp.clip(pos + spawn_offsets, W.PAD, W.PAD + W.WORLD_SIZE - 1)
         spawn_ok = (
-            is_night
+            (is_night | (lvl == W.CAVE))  # the cave is always dangerous
             & ~zombie_alive
             & far_enough
             & (jax.random.uniform(zk2, (N_ZOMBIES,)) < 0.05)
-            & _WALKABLE[blocks[spawn_pos[:, 0], spawn_pos[:, 1]]]
+            & _WALKABLE[blocks[lvl, spawn_pos[:, 0], spawn_pos[:, 1]]]
         )
         zombie_pos = jnp.where(spawn_ok[:, None], spawn_pos, state.zombie_pos)
+        zombie_level = jnp.where(spawn_ok, lvl, state.zombie_level)
         zombie_alive = zombie_alive | spawn_ok
         zombie_health = jnp.where(spawn_ok, 5, zombie_health)
-        zombie_alive = jnp.logical_and(zombie_alive, is_night)  # day despawn
+        # surface zombies despawn at dawn; cave zombies persist
+        zombie_alive = jnp.logical_and(
+            zombie_alive, is_night | (zombie_level == W.CAVE)
+        )
 
         # zombies chase
         delta = pos[None, :] - zombie_pos
@@ -436,18 +458,27 @@ class Forager(Environment):
         ).astype(jnp.int32)
         zcand = jnp.clip(zombie_pos + chase, W.PAD, W.PAD + W.WORLD_SIZE - 1)
         zmove = jax.random.uniform(k_zmove, (N_ZOMBIES,)) < 0.7
-        zok = _WALKABLE[blocks[zcand[:, 0], zcand[:, 1]]] & zmove & zombie_alive
+        zok = (
+            _WALKABLE[blocks[zombie_level, zcand[:, 0], zcand[:, 1]]]
+            & zmove
+            & zombie_alive
+            & (zombie_level == lvl)  # chase only on the player's level
+        )
         zombie_pos = jnp.where(zok[:, None], zcand, zombie_pos)
 
-        skel_pos = random_walk(k_skel, state.skel_pos, skel_alive, 0.2)
+        skel_pos = random_walk(k_skel, state.skel_pos, skel_alive, 0.2, W.CAVE)
 
         # mob melee damage (adjacent, every other step; worse when asleep)
         def adjacent(mob_pos, alive):
             d = jnp.abs(mob_pos - pos[None, :]).sum(axis=1)
             return jnp.logical_and(alive, d <= 1)
 
-        z_adj = adjacent(zombie_pos, zombie_alive).any()
-        s_adj = adjacent(skel_pos, skel_alive).any()
+        z_adj = adjacent(
+            zombie_pos, zombie_alive & (zombie_level == lvl)
+        ).any()
+        s_adj = jnp.logical_and(
+            adjacent(skel_pos, skel_alive).any(), lvl == W.CAVE
+        )
         dmg = jnp.where(
             (z_adj | s_adj) & (t % 2 == 0),
             jnp.where(sleeping, 2, 1),
@@ -464,14 +495,14 @@ class Forager(Environment):
         terminal = health <= 0
 
         new_state = ForagerState(
-            blocks=blocks, growth=growth, pos=pos, facing=facing,
+            blocks=blocks, growth=growth, pos=pos, level=lvl, facing=facing,
             health=health, food=food, drink=drink, energy=energy,
             hunger=hunger, thirst=thirst, fatigue=fatigue,
             decay_tick=decay_tick, regen_tick=regen_tick,
             sleeping=sleeping, inventory=inv, achievements=ach,
             cow_pos=cow_pos, cow_alive=cow_alive, cow_health=cow_health,
-            zombie_pos=zombie_pos, zombie_alive=zombie_alive,
-            zombie_health=zombie_health,
+            zombie_pos=zombie_pos, zombie_level=zombie_level,
+            zombie_alive=zombie_alive, zombie_health=zombie_health,
             skel_pos=skel_pos, skel_alive=skel_alive, skel_health=skel_health,
             time=t, terminal=terminal,
         )
@@ -498,7 +529,9 @@ class Forager(Environment):
         # the stored map is pre-padded with an INVALID border (W.PAD >= half)
         y0 = state.pos[0] - half
         x0 = state.pos[1] - half
-        window = jax.lax.dynamic_slice(state.blocks, (y0, x0), (VIEW, VIEW))
+        window = jax.lax.dynamic_slice(
+            state.blocks, (state.level, y0, x0), (1, VIEW, VIEW)
+        )[0]
         block_onehot = jax.nn.one_hot(window, W.NUM_BLOCK_TYPES)
 
         def mob_channel(mob_pos, alive):
@@ -517,9 +550,18 @@ class Forager(Environment):
 
         mobs = jnp.stack(
             [
-                mob_channel(state.cow_pos, state.cow_alive),
-                mob_channel(state.zombie_pos, state.zombie_alive),
-                mob_channel(state.skel_pos, state.skel_alive),
+                mob_channel(
+                    state.cow_pos,
+                    state.cow_alive & (state.level == W.SURFACE),
+                ),
+                mob_channel(
+                    state.zombie_pos,
+                    state.zombie_alive & (state.zombie_level == state.level),
+                ),
+                mob_channel(
+                    state.skel_pos,
+                    state.skel_alive & (state.level == W.CAVE),
+                ),
             ],
             axis=-1,
         )
@@ -545,6 +587,7 @@ class Forager(Environment):
                     ]
                 ),
                 state.sleeping.astype(jnp.float32)[None],
+                state.level.astype(jnp.float32)[None],
             ]
         )
         return jnp.concatenate([grid, extras]).astype(jnp.float32)

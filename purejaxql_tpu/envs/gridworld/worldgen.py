@@ -28,7 +28,15 @@ TABLE = 10
 FURNACE = 11
 SAPLING = 12
 PLANT_RIPE = 13
-NUM_BLOCK_TYPES = 14
+LADDER_DOWN = 14
+LADDER_UP = 15
+LAVA = 16
+NUM_BLOCK_TYPES = 17
+
+# map levels (craftax-style vertical depth)
+SURFACE = 0
+CAVE = 1
+NUM_LEVELS = 2
 
 WORLD_SIZE = 48
 # The env stores the map PRE-PADDED with an INVALID border of PAD cells:
@@ -62,10 +70,13 @@ def _value_noise(key: jax.Array, size: int, res: int) -> jax.Array:
 
 
 def generate_world(key: jax.Array) -> jax.Array:
-    """Generate a PADDED_SIZE^2 int8 block map (INVALID border of PAD):
-    water/sand/grass plains with forests, a stony highland seamed with
-    coal/iron/diamond. int8 storage quarters HBM traffic for the scatter-
-    heavy step function."""
+    """Generate a (NUM_LEVELS, PADDED_SIZE, PADDED_SIZE) int8 block map
+    (INVALID border of PAD): a surface level — water/sand/grass plains
+    with forests and a stony highland seamed with ores — and a CAVE level
+    (craftax-style depth) of stone passages with much richer ore veins and
+    lava hazards, connected by aligned ladder pairs. int8 storage quarters
+    HBM traffic for the scatter-heavy step function."""
+    key, k_cave, k_ladder = jax.random.split(key, 3)
     k_elev, k_detail, k_feat = jax.random.split(key, 3)
 
     elev = _value_noise(k_elev, WORLD_SIZE, 6) + 0.5 * _value_noise(
@@ -100,5 +111,33 @@ def generate_world(key: jax.Array) -> jax.Array:
     blocks = jax.lax.dynamic_update_slice(
         blocks, jnp.full((3, 3), GRASS, jnp.int8), (c - 1, c - 1)
     )
-    blocks = blocks.astype(jnp.int8)
-    return jnp.pad(blocks, PAD, constant_values=INVALID)
+
+    # ---- cave level -----------------------------------------------------
+    k_cnoise, k_cfeat = jax.random.split(k_cave)
+    cnoise = _value_noise(k_cnoise, WORLD_SIZE, 8)
+    cave = jnp.full((WORLD_SIZE, WORLD_SIZE), STONE, jnp.int8)
+    open_cell = cnoise > -0.15  # ~60% passages
+    cave = jnp.where(open_cell, PATH, cave)
+    cave = jnp.where(open_cell & (cnoise > 0.8), LAVA, cave)
+    cfeat = jax.random.uniform(k_cfeat, (WORLD_SIZE, WORLD_SIZE))
+    wall = cave == STONE
+    cave = jnp.where(wall & (cfeat < 0.15), COAL, cave)
+    cave = jnp.where(wall & (cfeat >= 0.15) & (cfeat < 0.27), IRON, cave)
+    cave = jnp.where(wall & (cfeat >= 0.27) & (cfeat < 0.33), DIAMOND, cave)
+
+    # ---- aligned ladder pairs ------------------------------------------
+    # two ladders at random interior cells; surface gets LADDER_DOWN on a
+    # carved tile, cave gets LADDER_UP with a 3x3 cleared pocket
+    lpos = jax.random.randint(k_ladder, (2, 2), 6, WORLD_SIZE - 6)
+    for i in range(2):
+        ly, lx = lpos[i, 0], lpos[i, 1]
+        blocks = blocks.at[ly, lx].set(LADDER_DOWN)
+        cave = jax.lax.dynamic_update_slice(
+            cave, jnp.full((3, 3), PATH, jnp.int8), (ly - 1, lx - 1)
+        )
+        cave = cave.at[ly, lx].set(LADDER_UP)
+
+    world = jnp.stack([blocks, cave]).astype(jnp.int8)
+    return jnp.pad(
+        world, ((0, 0), (PAD, PAD), (PAD, PAD)), constant_values=INVALID
+    )

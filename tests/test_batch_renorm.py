@@ -78,3 +78,23 @@ def test_trainer_with_batch_renorm():
         if "steps" in str(k)
     ]
     assert steps_leaves and int(np.asarray(steps_leaves[0]).max()) > 0
+
+
+def test_nature_cnn_forward():
+    """NatureCNN trunk (the Atari-scale Q-net) compiles and shapes check
+    on 84x84x4 byte observations."""
+    import jax.numpy as jnp
+    from purejaxql_tpu.models.cnn import CNNQNetwork
+
+    net = CNNQNetwork(action_dim=6, norm_type="layer_norm", trunk="nature")
+    x = jnp.zeros((8, 84, 84, 4))
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    q = net.apply(variables, x, train=False)
+    assert q.shape == (8, 6)
+    # dummy input norm present: param tree identical to norm_input=True
+    net2 = CNNQNetwork(action_dim=6, norm_type="layer_norm", trunk="nature",
+                       norm_input=True)
+    v2 = net2.init(jax.random.PRNGKey(0), x, train=False)
+    t1 = jax.tree_util.tree_structure(variables)
+    t2 = jax.tree_util.tree_structure(v2)
+    assert t1 == t2

@@ -14,7 +14,16 @@ def test_world_composition():
     env, params = make("Forager-v0")
     obs, state = env.reset(jax.random.PRNGKey(0), params)
     blocks = np.asarray(state.blocks)
-    counts = np.bincount(blocks.ravel(), minlength=W.NUM_BLOCK_TYPES)
+    assert blocks.shape == (W.NUM_LEVELS, W.PADDED_SIZE, W.PADDED_SIZE)
+    counts = np.bincount(
+        blocks[W.SURFACE].ravel(), minlength=W.NUM_BLOCK_TYPES
+    )
+    cave_counts = np.bincount(
+        blocks[W.CAVE].ravel(), minlength=W.NUM_BLOCK_TYPES
+    )
+    assert cave_counts[W.PATH] > 300, "cave should have passages"
+    assert cave_counts[W.DIAMOND] > 5, "cave should have diamond veins"
+    assert counts[W.LADDER_DOWN] == 2 and cave_counts[W.LADDER_UP] == 2
     assert counts[W.GRASS] > 400, "world should be mostly traversable"
     assert counts[W.TREE] > 20
     assert counts[W.STONE] > 50
@@ -65,7 +74,7 @@ def test_scripted_wood_collection():
     env, params = make("Forager-v0")
     obs, state = env.reset(jax.random.PRNGKey(2), params)
     # teleport the player next to a tree facing it (test backdoor via state)
-    blocks = np.asarray(state.blocks)
+    blocks = np.asarray(state.blocks[W.SURFACE])
     ty, tx = np.argwhere(blocks == W.TREE)[0]
     # stand below the tree, facing up
     state = state.replace(
@@ -86,7 +95,7 @@ def test_crafting_chain():
     inv = state.inventory.at[F.INV["wood"]].set(5)
     state = state.replace(inventory=inv)
     # face a grass tile
-    blocks = np.asarray(state.blocks)
+    blocks = np.asarray(state.blocks[W.SURFACE])
     gy, gx = np.argwhere(blocks == W.GRASS)[100]
     state = state.replace(
         pos=jnp.asarray([gy + 1, gx], jnp.int32), facing=jnp.asarray(0)
@@ -119,3 +128,36 @@ def test_death_by_starvation():
         step, (state, jax.random.PRNGKey(8)), None, 120
     )
     assert bool(np.asarray(dones).any()), "starvation never killed the player"
+
+
+def test_cave_descent_and_rich_ores():
+    """DO on a ladder descends to the cave (achievement), the cave holds
+    richer diamond veins, and DO on a ladder-up returns to the surface."""
+    import jax.numpy as jnp
+
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(11), params)
+    surface = np.asarray(state.blocks[W.SURFACE])
+    ly, lx = np.argwhere(surface == W.LADDER_DOWN)[0]
+    # stand below the ladder facing up
+    state = state.replace(
+        pos=jnp.asarray([ly + 1, lx], jnp.int32), facing=jnp.asarray(0)
+    )
+    obs, state, r, d, _ = env.step(
+        jax.random.PRNGKey(12), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(state.level) == W.CAVE
+    assert bool(state.achievements[F._ACH["enter_cave"]])
+    assert float(r) >= 1.0  # first-time achievement
+
+    cave = np.asarray(state.blocks[W.CAVE])
+    assert (cave == W.DIAMOND).sum() > (surface == W.DIAMOND).sum()
+
+    # the ladder-up is at the same coords; face it and ascend
+    state = state.replace(
+        pos=jnp.asarray([ly + 1, lx], jnp.int32), facing=jnp.asarray(0)
+    )
+    obs, state, r, d, _ = env.step(
+        jax.random.PRNGKey(13), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(state.level) == W.SURFACE
