@@ -17,7 +17,7 @@ runtimes; not the tunneled axon backend).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

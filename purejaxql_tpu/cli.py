@@ -97,8 +97,6 @@ def _stepwise_run(config, logger):
     Extra config keys: CHECKPOINT_EVERY (updates), CHECKPOINT_PATH,
     RESUME_FROM (path saved by a previous stepwise run).
     """
-    import jax as _jax
-
     from purejaxql_tpu.algo.stages import make_stages, train_stepwise
     from purejaxql_tpu.core.checkpoint import load_state, save_state
 

@@ -19,7 +19,6 @@ from functools import partial
 from typing import Any, Generic, Tuple, TypeVar
 
 import jax
-import jax.numpy as jnp
 from flax import struct
 
 from purejaxql_tpu.envs import spaces
