@@ -78,7 +78,8 @@ OBS_DIM = VIEW * VIEW * (W.NUM_BLOCK_TYPES + 3) + NUM_INV + 4 + 4 + 2 + 1 + 1
 @struct.dataclass
 class ForagerState:
     blocks: jax.Array          # (2, 56, 56) int8: [surface, cave], padded
-    growth: jax.Array          # (2, 56, 56) int8 sapling growth timers
+    growth: jax.Array          # (56, 56) int8 sapling growth timers
+                               # (surface only: saplings need grass)
     pos: jax.Array             # (2,) int32 (y, x) in padded coords
     level: jax.Array           # int32: 0 surface, 1 cave
     facing: jax.Array          # int32 0..3
@@ -150,7 +151,7 @@ class Forager(Environment):
 
         state = ForagerState(
             blocks=blocks,
-            growth=jnp.zeros_like(blocks),
+            growth=jnp.zeros_like(blocks[W.SURFACE]),
             pos=jnp.array([c, c], jnp.int32),
             level=jnp.asarray(W.SURFACE, jnp.int32),
             facing=jnp.asarray(2, jnp.int32),
@@ -328,9 +329,13 @@ class Forager(Environment):
         # tile writes target the level the action happened on (pre-ladder)
         alvl = state.level
         blocks = blocks.at[alvl, ty, tx].set(tile_new.astype(blocks.dtype))
-        growth = state.growth.at[alvl, ty, tx].set(
+        # growth is surface-only (plants need grass); the write is a no-op
+        # rewrite of the current value when acting in the cave
+        growth = state.growth.at[ty, tx].set(
             jnp.where(
-                ate_plant | placed_plant, 0, state.growth[alvl, ty, tx]
+                (ate_plant | placed_plant) & (alvl == W.SURFACE),
+                0,
+                state.growth[ty, tx],
             ).astype(state.growth.dtype)
         )
 
@@ -372,11 +377,14 @@ class Forager(Environment):
               [("wood", 1), ("coal", 1), ("iron", 1)],
               "make_iron_sword", need_furnace=True)
 
-        # ---- plant growth -------------------------------------------
-        is_sapling = blocks == W.SAPLING
+        # ---- plant growth (surface only) ----------------------------
+        surface = blocks[W.SURFACE]
+        is_sapling = surface == W.SAPLING
         growth = jnp.where(is_sapling, growth + 1, 0)
         ripe = is_sapling & (growth >= params.growth_time)
-        blocks = jnp.where(ripe, W.PLANT_RIPE, blocks)
+        blocks = blocks.at[W.SURFACE].set(
+            jnp.where(ripe, W.PLANT_RIPE, surface)
+        )
 
         # ---- day/night + sleep --------------------------------------
         t = state.time + 1
