@@ -2,14 +2,16 @@
 
 N controlled allies fight M heuristic enemies on a continuous 2D field —
 the in-tree counterpart of the reference's SMAX benchmark family
-(`HeuristicEnemySMAX`, /root/reference/purejaxql/config/alg/
-pqn_vdn_rnn_smax.yaml): per-unit movement, ranged attacks with cooldowns,
-health, unit death, a scripted enemy (chase closest ally, attack in
-range), SMAC-style shaped team reward (normalized damage + kill + win
-bonuses), and — crucially for the VDN engine — LEGAL-ACTION MASKS: the
-attack-enemy-j action is only available while enemy j is alive and in
-range, exercising the masked epsilon-greedy and masked-target paths end
-to end.
+(`HeuristicEnemySMAX` on map "2s3z", /root/reference/purejaxql/config/alg/
+pqn_vdn_rnn_smax.yaml): UNIT TYPES (type 0 "ranged": long range, low
+damage, fragile, slow; type 1 "melee": short range, high damage, tanky,
+fast — the stalker/zealot split), per-unit movement, attacks with
+cooldowns, health, unit death, a scripted enemy (chase closest ally,
+attack in range), SMAC-style shaped team reward (normalized damage + kill
++ win bonuses), and — crucially for the VDN engine — LEGAL-ACTION MASKS:
+the attack-enemy-j action is only available while enemy j is alive and in
+the attacker's type-dependent range, exercising the masked epsilon-greedy
+and masked-target paths end to end.
 
 Actions per ally: [noop, up, right, down, left, attack_0..attack_{M-1}].
 Observations per ally: own (pos, health, cooldown) + per-ally and
@@ -45,36 +47,51 @@ _MOVES = jnp.array(
 
 
 class Skirmish(MultiAgentEnv):
+    # per-type attributes: [ranged, melee]
+    TYPE_RANGE = (2.5, 0.9)
+    TYPE_DAMAGE = (1.0, 2.0)
+    TYPE_HEALTH = (4.0, 7.0)
+    TYPE_SPEED = (0.45, 0.6)
+
     def __init__(
         self,
-        num_allies: int = 3,
-        num_enemies: int = 3,
+        num_allies: int = None,
+        num_enemies: int = None,
+        ally_types: tuple = (0, 0, 1),
+        enemy_types: tuple = (0, 0, 1),
         max_steps: int = 64,
         arena: float = 8.0,
-        move_speed: float = 0.5,
-        attack_range: float = 2.0,
-        attack_damage: float = 1.0,
         attack_cooldown: int = 2,
-        max_health: float = 5.0,
     ):
+        # num_allies/num_enemies override the type tuples with all-ranged
+        # teams (back-compat with simple configs)
+        if num_allies is not None and num_allies != len(ally_types):
+            ally_types = tuple([0] * num_allies)
+        if num_enemies is not None and num_enemies != len(enemy_types):
+            enemy_types = tuple([0] * num_enemies)
+        self.ally_types = jnp.asarray(ally_types)
+        self.enemy_types = jnp.asarray(enemy_types)
+        num_allies = len(ally_types)
+        num_enemies = len(enemy_types)
         self.num_agents = num_allies
         self.num_allies = num_allies
         self.num_enemies = num_enemies
         self.agents = [f"ally_{i}" for i in range(num_allies)]
         self.max_steps = max_steps
         self.arena = arena
-        self.move_speed = move_speed
-        self.attack_range = attack_range
-        self.attack_damage = attack_damage
         self.attack_cooldown = attack_cooldown
-        self.max_health = max_health
+        self.max_health = max(self.TYPE_HEALTH)
         self.num_actions = 5 + num_enemies
-        # own (2 pos + health + cd) + allies (N-1)*(2 rel + health + alive)
-        # + enemies M*(2 rel + health + alive)
-        self.obs_dim = 4 + (num_allies - 1) * 4 + num_enemies * 4
+        # own (2 pos + health + cd + type) + per other unit (2 rel +
+        # health + alive + type)
+        self.obs_dim = 5 + (num_allies - 1) * 5 + num_enemies * 5
         # total reward available: all enemy health + kill + win bonuses
+        _type_health = jnp.asarray(self.TYPE_HEALTH)
+        self._enemy_total_health = float(
+            _type_health[self.enemy_types].sum()
+        )
         self._max_reward = (
-            num_enemies * max_health + num_enemies * 0.5 + 1.0
+            self._enemy_total_health + num_enemies * 0.5 + 1.0
         )
 
     # ------------------------------------------------------------------
@@ -89,12 +106,13 @@ class Skirmish(MultiAgentEnv):
             k_e, (self.num_enemies, 2), minval=jnp.array([half / 2, -half]),
             maxval=jnp.array([half, half]),
         )
+        type_health = jnp.asarray(self.TYPE_HEALTH)
         state = SkirmishState(
             ally_pos=ally_pos,
-            ally_health=jnp.full(self.num_allies, self.max_health),
+            ally_health=type_health[self.ally_types],
             ally_cd=jnp.zeros(self.num_allies, jnp.int32),
             enemy_pos=enemy_pos,
-            enemy_health=jnp.full(self.num_enemies, self.max_health),
+            enemy_health=type_health[self.enemy_types],
             enemy_cd=jnp.zeros(self.num_enemies, jnp.int32),
             time=jnp.asarray(0, jnp.int32),
         )
@@ -106,9 +124,16 @@ class Skirmish(MultiAgentEnv):
         ally_alive = state.ally_health > 0
         enemy_alive = state.enemy_health > 0
 
+        a_range = jnp.asarray(self.TYPE_RANGE)[self.ally_types]
+        a_damage = jnp.asarray(self.TYPE_DAMAGE)[self.ally_types]
+        a_speed = jnp.asarray(self.TYPE_SPEED)[self.ally_types]
+        e_range = jnp.asarray(self.TYPE_RANGE)[self.enemy_types]
+        e_damage = jnp.asarray(self.TYPE_DAMAGE)[self.enemy_types]
+        e_speed = jnp.asarray(self.TYPE_SPEED)[self.enemy_types]
+
         # -- ally movement (move actions 0..4; dead units frozen) -------
         move_idx = jnp.clip(acts, 0, 4) * (acts < 5)
-        delta = _MOVES[move_idx] * self.move_speed
+        delta = _MOVES[move_idx] * a_speed[:, None]
         ally_pos = jnp.clip(
             state.ally_pos + delta * ally_alive[:, None],
             -self.arena, self.arena,
@@ -125,12 +150,11 @@ class Skirmish(MultiAgentEnv):
             & ally_alive
             & (state.ally_cd == 0)
             & enemy_alive[target]
-            & (dists[jnp.arange(self.num_allies), target] <= self.attack_range)
+            & (dists[jnp.arange(self.num_allies), target] <= a_range)
         )
         dmg_matrix = (
             jax.nn.one_hot(target, self.num_enemies)
-            * can_attack[:, None]
-            * self.attack_damage
+            * (can_attack * a_damage)[:, None]
         )  # (N, M)
         enemy_damage = dmg_matrix.sum(axis=0)
         enemy_health = jnp.maximum(state.enemy_health - enemy_damage, 0.0)
@@ -152,8 +176,8 @@ class Skirmish(MultiAgentEnv):
         chase_dir = ally_pos[closest] - state.enemy_pos
         chase_norm = jnp.linalg.norm(chase_dir, axis=-1, keepdims=True) + 1e-8
         enemy_pos = jnp.where(
-            (new_enemy_alive & (closest_dist > self.attack_range * 0.8))[:, None],
-            state.enemy_pos + chase_dir / chase_norm * self.move_speed,
+            (new_enemy_alive & (closest_dist > e_range * 0.8))[:, None],
+            state.enemy_pos + chase_dir / chase_norm * e_speed[:, None],
             state.enemy_pos,
         )
         enemy_pos = jnp.clip(enemy_pos, -self.arena, self.arena)
@@ -161,13 +185,12 @@ class Skirmish(MultiAgentEnv):
         e_attacks = (
             new_enemy_alive
             & (state.enemy_cd == 0)
-            & (closest_dist <= self.attack_range)
+            & (closest_dist <= e_range)
             & ally_alive_f[closest]
         )
         ally_damage = (
             jax.nn.one_hot(closest, self.num_allies)
-            * e_attacks[:, None]
-            * self.attack_damage
+            * (e_attacks * e_damage)[:, None]
         ).sum(axis=0)
         ally_health = jnp.maximum(state.ally_health - ally_damage, 0.0)
         enemy_cd = jnp.where(
@@ -216,6 +239,9 @@ class Skirmish(MultiAgentEnv):
         ally_alive = (state.ally_health > 0).astype(jnp.float32)
         enemy_alive = (state.enemy_health > 0).astype(jnp.float32)
 
+        a_types = self.ally_types.astype(jnp.float32)
+        e_types = self.enemy_types.astype(jnp.float32)
+
         def single(i):
             own = jnp.concatenate(
                 [
@@ -226,23 +252,33 @@ class Skirmish(MultiAgentEnv):
                             state.ally_cd[i] / self.attack_cooldown,
                         ]
                     ),
+                    a_types[i][None],
                 ]
             )
 
-            def unit_feats(pos, health, alive):
+            def unit_feats(pos, health, alive, utype):
                 rel = (pos - state.ally_pos[i]) / self.arena * alive
                 return jnp.concatenate(
-                    [rel, jnp.array([health / self.max_health * alive, alive])]
+                    [
+                        rel,
+                        jnp.array(
+                            [health / self.max_health * alive, alive, utype]
+                        ),
+                    ]
                 )
 
             allies = [
-                unit_feats(state.ally_pos[j], state.ally_health[j], ally_alive[j])
+                unit_feats(
+                    state.ally_pos[j], state.ally_health[j], ally_alive[j],
+                    a_types[j],
+                )
                 for j in range(self.num_allies)
                 if j != i
             ]
             enemies = [
                 unit_feats(
-                    state.enemy_pos[j], state.enemy_health[j], enemy_alive[j]
+                    state.enemy_pos[j], state.enemy_health[j], enemy_alive[j],
+                    e_types[j],
                 )
                 for j in range(self.num_enemies)
             ]
@@ -254,9 +290,10 @@ class Skirmish(MultiAgentEnv):
         dists = jnp.linalg.norm(
             state.ally_pos[:, None, :] - state.enemy_pos[None, :, :], axis=-1
         )
+        a_range = jnp.asarray(self.TYPE_RANGE)[self.ally_types]
         attackable = (
             (state.enemy_health > 0)[None, :]
-            & (dists <= self.attack_range)
+            & (dists <= a_range[:, None])
         )  # (N, M)
         moves = jnp.ones((self.num_allies, 5))
         mask = jnp.concatenate([moves, attackable.astype(jnp.float32)], axis=1)

@@ -30,12 +30,14 @@ def _populate():
     from purejaxql_tpu.envs.classic.mountain_car import MountainCar
     from purejaxql_tpu.envs.classic.pendulum import Pendulum
     from purejaxql_tpu.envs.classic.memory_chain import MemoryChain
+    from purejaxql_tpu.envs.classic.reacher import Reacher
 
     _REGISTRY["CartPole-v1"] = CartPole
     _REGISTRY["Acrobot-v1"] = Acrobot
     _REGISTRY["MountainCar-v0"] = MountainCar
     _REGISTRY["Pendulum-v1"] = Pendulum
     _REGISTRY["MemoryChain-bsuite"] = MemoryChain
+    _REGISTRY["Reacher-v0"] = Reacher
 
     try:
         from purejaxql_tpu.envs.minatar import (

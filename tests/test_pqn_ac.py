@@ -81,3 +81,13 @@ def test_ac_learns_pendulum():
     # greedy eval must clearly beat the random baseline (~-1300) at its
     # best checkpoint (late-run noise-ladder exploration adds variance)
     assert tr.max() > -500, tr
+
+
+@pytest.mark.slow
+def test_ac_learns_reacher():
+    """Reacher (2-joint arm) should improve clearly: random ~-129, expect
+    best test return above -70 within 400k steps."""
+    config = compose(alg="pqn_reacher", overrides=["TOTAL_TIMESTEPS=400000"])
+    outs = run(config)
+    tr = np.asarray(outs["metrics"]["test/returned_episode_returns"][0])
+    assert tr.max() > -70, tr

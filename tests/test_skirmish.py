@@ -112,3 +112,30 @@ def test_vdn_learns_skirmish():
     early = rets[: len(rets) // 10].mean()
     late = rets[-len(rets) // 10:].mean()
     assert late > early * 1.5, (early, late)
+
+
+def test_unit_types_differ():
+    """Ranged and melee units have different range, damage and health."""
+    env = make_marl("Skirmish-v0", ally_types=(0, 1), enemy_types=(0, 1))
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    # melee units start with more health
+    assert float(state.ally_health[1]) > float(state.ally_health[0])
+
+    # put both allies at the same spot, 2.0 away from enemy 0: ranged can
+    # attack (range 2.5), melee cannot (range 0.9)
+    spot = state.enemy_pos[0] + jnp.asarray([2.0, 0.0])
+    state = state.replace(ally_pos=jnp.stack([spot, spot]))
+    avail = env.get_avail_actions(state)
+    assert float(avail["ally_0"][5]) == 1.0  # ranged in range
+    assert float(avail["ally_1"][5]) == 0.0  # melee out of range
+
+    # melee hits harder: move melee adjacent and compare one attack each
+    state2 = state.replace(
+        ally_pos=jnp.stack([spot, state.enemy_pos[0] + 0.3])
+    )
+    actions = {"ally_0": jnp.asarray(5), "ally_1": jnp.asarray(5)}
+    _, s3, rew, _, _ = env.step(jax.random.PRNGKey(1), state2, actions)
+    dealt = float(state2.enemy_health[0]) - float(s3.enemy_health[0])
+    assert dealt == pytest.approx(
+        env.TYPE_DAMAGE[0] + env.TYPE_DAMAGE[1]
+    )
