@@ -112,3 +112,20 @@ def test_in_graph_eval():
     assert "test/returned_episode_returns" in outs["metrics"]
     vals = np.asarray(outs["metrics"]["test/returned_episode_returns"][0])
     assert np.isfinite(vals[-1])
+
+
+@pytest.mark.slow
+def test_acrobot_learns():
+    """Acrobot (the reference's second gymnax env) reaches the solved
+    region (~-90 test return; random ~-490)."""
+    config = compose(
+        alg="pqn_cartpole",
+        overrides=[
+            "ENV_NAME=Acrobot-v1",
+            "TOTAL_TIMESTEPS=300000",
+            "TOTAL_TIMESTEPS_DECAY=300000",
+        ],
+    )
+    outs = run(config)
+    tr = np.asarray(outs["metrics"]["test/returned_episode_returns"][0])
+    assert tr[-5:].mean() > -160, tr[-10:]
