@@ -57,6 +57,7 @@ def test_pallas_lambda_aligned_width():
 
 @requires_tpu
 def test_pallas_eps_greedy_statistics():
+    # compiled path: the hardware PRNG has no interpreter rule anywhere
     rng = np.random.RandomState(2)
     E, A = 512, 6
     q_vals = rng.randn(E, A).astype(np.float32)
@@ -64,23 +65,20 @@ def test_pallas_eps_greedy_statistics():
 
     # eps=0 -> all greedy
     actions = np.asarray(
-        eps_greedy_pallas(jnp.asarray(3), jnp.asarray(q_vals), jnp.asarray(0.0),
-                          interpret=True)
+        eps_greedy_pallas(jnp.asarray(3), jnp.asarray(q_vals), jnp.asarray(0.0))
     )
     np.testing.assert_array_equal(actions, greedy)
 
     # eps=1 -> all random-ish: roughly uniform action histogram
     actions = np.asarray(
-        eps_greedy_pallas(jnp.asarray(3), jnp.asarray(q_vals), jnp.asarray(1.0),
-                          interpret=True)
+        eps_greedy_pallas(jnp.asarray(3), jnp.asarray(q_vals), jnp.asarray(1.0))
     )
     counts = np.bincount(actions, minlength=A)
     assert counts.min() > E / A * 0.5, counts
 
     # eps=0.5 -> a mix: about half the actions deviate from greedy at most
     actions = np.asarray(
-        eps_greedy_pallas(jnp.asarray(4), jnp.asarray(q_vals), jnp.asarray(0.5),
-                          interpret=True)
+        eps_greedy_pallas(jnp.asarray(4), jnp.asarray(q_vals), jnp.asarray(0.5))
     )
     frac_greedy = (actions == greedy).mean()
     assert 0.4 < frac_greedy < 0.8, frac_greedy
@@ -89,8 +87,6 @@ def test_pallas_eps_greedy_statistics():
 @requires_tpu
 def test_pallas_eps_greedy_seed_dependence():
     q_vals = jnp.zeros((64, 4))
-    a1 = np.asarray(eps_greedy_pallas(jnp.asarray(1), q_vals, jnp.asarray(1.0),
-                                      interpret=True))
-    a2 = np.asarray(eps_greedy_pallas(jnp.asarray(2), q_vals, jnp.asarray(1.0),
-                                      interpret=True))
+    a1 = np.asarray(eps_greedy_pallas(jnp.asarray(1), q_vals, jnp.asarray(1.0)))
+    a2 = np.asarray(eps_greedy_pallas(jnp.asarray(2), q_vals, jnp.asarray(1.0)))
     assert not np.array_equal(a1, a2)
