@@ -45,12 +45,14 @@ def _populate():
             MinAsterix,
             MinSpaceInvaders,
             MinFreeway,
+            MinSeaquest,
         )
 
         _REGISTRY["Breakout-MinAtar"] = MinBreakout
         _REGISTRY["Asterix-MinAtar"] = MinAsterix
         _REGISTRY["SpaceInvaders-MinAtar"] = MinSpaceInvaders
         _REGISTRY["Freeway-MinAtar"] = MinFreeway
+        _REGISTRY["Seaquest-MinAtar"] = MinSeaquest
     except ImportError:
         pass
 

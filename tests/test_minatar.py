@@ -12,6 +12,7 @@ MINATAR = [
     ("Asterix-MinAtar", 4, 5),
     ("SpaceInvaders-MinAtar", 6, 4),
     ("Freeway-MinAtar", 7, 3),
+    ("Seaquest-MinAtar", 10, 6),
 ]
 
 
