@@ -31,6 +31,10 @@ import jax
 import jax.numpy as jnp
 
 from purejaxql_tpu.algo.exploration import eps_greedy_batch
+from purejaxql_tpu.algo.metrics import (
+    episode_mean_metrics,
+    test_interval_updates,
+)
 from purejaxql_tpu.algo.returns import lambda_returns
 from purejaxql_tpu.algo.types import Transition
 from purejaxql_tpu.core.optim import make_optimizer
@@ -379,7 +383,7 @@ def make_train(
                 rng, _rng = jax.random.split(rng)
                 test_metrics = jax.lax.cond(
                     train_state.n_updates
-                    % int(config["NUM_UPDATES"] * config["TEST_INTERVAL"])
+                    % test_interval_updates(config)
                     == 0,
                     lambda _: get_test_metrics(train_state, _rng),
                     lambda _: test_metrics,
@@ -427,13 +431,7 @@ def make_train(
                 None,
                 config["TEST_NUM_STEPS"],
             )
-            done_infos = jax.tree_util.tree_map(
-                lambda x: jnp.nanmean(
-                    jnp.where(infos["returned_episode"], x, jnp.nan)
-                ),
-                infos,
-            )
-            return done_infos
+            return episode_mean_metrics(infos, pmap_axis)
 
         if runner_state is None:
             rng, _rng = jax.random.split(rng)

@@ -34,6 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from purejaxql_tpu.algo.exploration import eps_greedy_batch
+from purejaxql_tpu.algo.metrics import (
+    episode_mean_metrics,
+    test_interval_updates,
+)
 from purejaxql_tpu.algo.pqn import build_env, _vec_reset, _vec_step
 from purejaxql_tpu.algo.types import RNNTransition
 from purejaxql_tpu.core.optim import make_optimizer
@@ -331,7 +335,7 @@ def make_train(
                 rng, _rng = jax.random.split(rng)
                 test_metrics = jax.lax.cond(
                     train_state.n_updates
-                    % int(config["NUM_UPDATES"] * config["TEST_INTERVAL"])
+                    % test_interval_updates(config)
                     == 0,
                     lambda _: get_test_metrics(train_state, _rng),
                     lambda _: test_metrics,
@@ -388,12 +392,7 @@ def make_train(
             _, infos = jax.lax.scan(
                 _greedy_env_step, step_state, None, config["TEST_NUM_STEPS"]
             )
-            return jax.tree_util.tree_map(
-                lambda x: jnp.nanmean(
-                    jnp.where(infos["returned_episode"], x, jnp.nan)
-                ),
-                infos,
-            )
+            return episode_mean_metrics(infos, pmap_axis)
 
         if runner_state is None:
             rng, _rng = jax.random.split(rng)

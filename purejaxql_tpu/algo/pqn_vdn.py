@@ -24,6 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from purejaxql_tpu.algo.types import MARLTransition
+from purejaxql_tpu.algo.metrics import (
+    episode_mean_metrics,
+    test_interval_updates,
+)
 from purejaxql_tpu.core.optim import make_optimizer
 from purejaxql_tpu.core.schedules import epsilon_schedule
 from purejaxql_tpu.core.train_state import PQNTrainState
@@ -378,7 +382,7 @@ def make_train(
                 rng, _rng = jax.random.split(rng)
                 test_metrics = jax.lax.cond(
                     train_state.n_updates
-                    % int(config["NUM_UPDATES"] * config["TEST_INTERVAL"])
+                    % test_interval_updates(config)
                     == 0,
                     lambda _: get_test_metrics(train_state, _rng),
                     lambda _: test_metrics,
@@ -439,12 +443,7 @@ def make_train(
                 None,
                 config["TEST_NUM_STEPS"],
             )
-            return jax.tree_util.tree_map(
-                lambda x: jnp.nanmean(
-                    jnp.where(infos["returned_episode"], x, jnp.nan)
-                ),
-                infos,
-            )
+            return episode_mean_metrics(infos, pmap_axis)
 
         rng, _rng = jax.random.split(rng)
         test_metrics = get_test_metrics(train_state, _rng)

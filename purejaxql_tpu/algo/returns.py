@@ -72,7 +72,13 @@ def lambda_returns_closure(
     gamma: float,
     lam: float,
 ) -> jax.Array:
-    """Lambda returns, closure form (atari/rnn scripts)."""
+    """Lambda returns, closure form (atari/rnn scripts).
+
+    The T-1 return is r[-1] + gamma*(1-d[-1])*last_q, and the scan carry's
+    next_q is seeded with max_qs[-1] — the *recorded rollout Q* at the final
+    step, not the masked bootstrap (pqn_atari.py:293-297: ``lambda_returns =
+    reward[-1] + ...; last_q = jnp.max(q_vals[-1], ...)`` before the scan).
+    """
     lam_returns = rewards[-1] + gamma * (1 - dones[-1]) * last_q
 
     def _get_target(carry, x):
@@ -86,7 +92,7 @@ def lambda_returns_closure(
 
     _, targets = jax.lax.scan(
         _get_target,
-        (lam_returns, last_q * (1 - dones[-1])),
+        (lam_returns, max_qs[-1]),
         (rewards[:-1], dones[:-1], max_qs[:-1]),
         reverse=True,
     )

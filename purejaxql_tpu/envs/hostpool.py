@@ -3,7 +3,7 @@
 This fills the architectural slot EnvPool occupies in the reference (C++
 envs stepped on the host CPU feeding the device learner,
 /root/reference/purejaxql/utils/atari_wrapper.py:85-169): a persistent
-thread-pooled C++ env batch (cpp/envhost/) exchanged with JAX as flat
+thread-pooled C++ env batch (purejaxql_tpu/cpp/envhost/) exchanged with JAX as flat
 numpy buffers.
 
 Two consumption modes:
@@ -28,8 +28,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+# The C++ sources ship inside the package (purejaxql_tpu/cpp/) so the
+# auto-build works from a pip install, not only a source checkout.
 _CPP_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "cpp",
 )
 _LIB_PATH = os.path.join(_CPP_DIR, "build", "libenvhost.so")

@@ -1,0 +1,47 @@
+"""Model factory: choose the Q-network family from the config + obs shape,
+mirroring how each reference script hardcodes its model
+(pqn_gymnax.py:142-148, pqn_minatar.py:105-110, pqn_atari.py:73-97)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from purejaxql_tpu.models.cnn import CNNQNetwork
+from purejaxql_tpu.models.qnet import QNetwork
+
+
+def make_q_network(
+    config,
+    action_dim: int,
+    obs_shape,
+    norm_axis_name: Optional[str] = None,
+):
+    dtype = jnp.bfloat16 if config.get("BF16_COMPUTE", False) else jnp.float32
+    arch = config.get("ARCH")
+    if arch is None:
+        arch = "cnn" if len(obs_shape) >= 3 else "mlp"
+
+    if arch == "mlp":
+        return QNetwork(
+            action_dim=action_dim,
+            hidden_size=config.get("HIDDEN_SIZE", 128),
+            num_layers=config.get("NUM_LAYERS", 2),
+            norm_type=config["NORM_TYPE"],
+            norm_input=config.get("NORM_INPUT", False),
+            norm_axis_name=norm_axis_name,
+            dtype=dtype,
+        )
+    if arch == "cnn":
+        return CNNQNetwork(
+            action_dim=action_dim,
+            norm_type=config["NORM_TYPE"],
+            norm_input=config.get("NORM_INPUT", False),
+            norm_axis_name=norm_axis_name,
+            trunk=config.get("CNN_TRUNK", "minatar"),
+            hidden_size=config.get("HIDDEN_SIZE", 128),
+            input_scale=config.get("INPUT_SCALE", 255.0),
+            dtype=dtype,
+        )
+    raise ValueError(f"Unknown ARCH '{arch}'")

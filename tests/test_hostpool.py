@@ -1,4 +1,4 @@
-"""C++ host env pool tests (builds cpp/ via make on first use)."""
+"""C++ host env pool tests (builds purejaxql_tpu/cpp/ via make on first use)."""
 
 import shutil
 

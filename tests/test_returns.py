@@ -104,14 +104,19 @@ def test_done_cuts_bootstrap():
     np.testing.assert_allclose(got[2], rewards[2], rtol=1e-6)
 
 
-def test_closure_form_agrees_without_terminal_done():
+def test_closure_form_agrees_when_carry_seeds_coincide():
+    # The gymnax form seeds the scan carry's next_q with the masked bootstrap
+    # last_q*(1-d[-1]); the closure form (pqn_atari.py:293-297) seeds it with
+    # the recorded rollout max_qs[-1].  The forms coincide exactly when
+    # d[-1] == 0 and max_qs[-1] == last_q.
     rng = np.random.RandomState(2)
     T, E = 8, 4
     rewards = rng.randn(T, E).astype(np.float32)
     dones = (rng.rand(T, E) < 0.2).astype(np.float32)
-    dones[-1] = 0.0  # forms only differ in terminal-done masking
+    dones[-1] = 0.0
     max_qs = rng.randn(T, E).astype(np.float32)
     last_q = rng.randn(E).astype(np.float32)
+    max_qs[-1] = last_q
 
     a = np.asarray(
         lambda_returns(
@@ -126,6 +131,41 @@ def test_closure_form_agrees_without_terminal_done():
         )
     )
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def brute_force_closure(last_q, rewards, dones, max_qs, gamma, lam):
+    """Direct translation of the atari/rnn closure form (pqn_atari.py:280-302):
+    the T-1 return bootstraps from last_q, but the carry's next_q is seeded
+    with the recorded rollout max_qs[-1]."""
+    T, E = rewards.shape
+    lam_ret = rewards[-1] + gamma * (1 - dones[-1]) * last_q
+    out = [lam_ret]
+    next_q = max_qs[-1]
+    cur = lam_ret
+    for t in range(T - 2, -1, -1):
+        target_bootstrap = rewards[t] + gamma * (1 - dones[t]) * next_q
+        delta = cur - next_q
+        cur = target_bootstrap + gamma * lam * delta
+        cur = (1 - dones[t]) * cur + dones[t] * rewards[t]
+        next_q = max_qs[t]
+        out.append(cur)
+    return np.stack(out[::-1])
+
+
+def test_closure_form_matches_bruteforce():
+    rng = np.random.RandomState(7)
+    T, E = 10, 4
+    rewards = rng.randn(T, E).astype(np.float32)
+    dones = (rng.rand(T, E) < 0.25).astype(np.float32)
+    max_qs = rng.randn(T, E).astype(np.float32)
+    last_q = rng.randn(E).astype(np.float32)
+
+    got = lambda_returns_closure(
+        jnp.asarray(last_q), jnp.asarray(rewards), jnp.asarray(dones),
+        jnp.asarray(max_qs), 0.99, 0.65,
+    )
+    want = brute_force_closure(last_q, rewards, dones, max_qs, 0.99, 0.65)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
 
 
 def test_one_step_targets():
