@@ -43,6 +43,7 @@ from purejaxql_tpu.algo.types import RNNTransition
 from purejaxql_tpu.core.optim import make_optimizer
 from purejaxql_tpu.core.schedules import epsilon_schedule, lr_schedule
 from purejaxql_tpu.core.train_state import PQNTrainState
+from purejaxql_tpu.models.factory import resolve_norms
 from purejaxql_tpu.models.rnn import RNNQNetwork
 from purejaxql_tpu.utils.logging import MetricLogger
 
@@ -82,6 +83,7 @@ def make_train(
     action_dim = base_env.action_space(env_params).n
     obs_shape = train_env.observation_space(env_params).shape
 
+    norm_type, input_norm_type = resolve_norms(config)
     network = RNNQNetwork(
         action_dim=action_dim,
         hidden_size=config.get("HIDDEN_SIZE", 128),
@@ -89,7 +91,8 @@ def make_train(
         num_rnn_layers=config.get("NUM_RNN_LAYERS", 1),
         cell_type=config.get("RNN_CELL", "gru"),
         norm_input=config.get("NORM_INPUT", False),
-        norm_type=config["NORM_TYPE"],
+        norm_type=norm_type,
+        input_norm_type=input_norm_type,
         norm_axis_name=pmap_axis,
         add_last_action=config.get("ADD_LAST_ACTION", False),
         dueling=config.get("DUELING", False),

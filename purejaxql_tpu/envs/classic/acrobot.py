@@ -12,6 +12,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from purejaxql_tpu.envs import spaces
@@ -127,8 +128,10 @@ class Acrobot(Environment):
         return jnp.logical_or(solved, truncated)
 
     def observation_space(self, params) -> spaces.Box:
-        high = jnp.array([1.0, 1.0, 1.0, 1.0, params.max_vel_1, params.max_vel_2])
-        return spaces.Box(-high, high, (6,), jnp.float32)
+        high = np.array(
+            [1.0, 1.0, 1.0, 1.0, params.max_vel_1, params.max_vel_2], np.float32
+        )
+        return spaces.Box(-high, high, (6,), np.float32)
 
     def action_space(self, params=None) -> spaces.Discrete:
         return spaces.Discrete(3)

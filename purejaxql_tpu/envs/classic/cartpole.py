@@ -13,6 +13,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from purejaxql_tpu.envs import spaces
@@ -117,15 +118,18 @@ class CartPole(Environment):
         return jnp.logical_or(out_of_bounds, truncated)
 
     def observation_space(self, params) -> spaces.Box:
-        high = jnp.array(
+        # static numpy bounds: observation_space must be callable inside
+        # traced code (the reference queries it under jit, pqn_gymnax.py:151)
+        high = np.array(
             [
                 params.x_threshold * 2,
-                jnp.finfo(jnp.float32).max,
+                np.finfo(np.float32).max,
                 params.theta_threshold_radians * 2,
-                jnp.finfo(jnp.float32).max,
-            ]
+                np.finfo(np.float32).max,
+            ],
+            np.float32,
         )
-        return spaces.Box(-high, high, (4,), jnp.float32)
+        return spaces.Box(-high, high, (4,), np.float32)
 
     def action_space(self, params=None) -> spaces.Discrete:
         return spaces.Discrete(2)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from purejaxql_tpu.envs import spaces
@@ -82,9 +83,9 @@ class MountainCar(Environment):
         return jnp.logical_or(solved, truncated)
 
     def observation_space(self, params):
-        low = jnp.array([params.min_position, -params.max_speed])
-        high = jnp.array([params.max_position, params.max_speed])
-        return spaces.Box(low, high, (2,), jnp.float32)
+        low = np.array([params.min_position, -params.max_speed], np.float32)
+        high = np.array([params.max_position, params.max_speed], np.float32)
+        return spaces.Box(low, high, (2,), np.float32)
 
     def action_space(self, params=None):
         return spaces.Discrete(3)

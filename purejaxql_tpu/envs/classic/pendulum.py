@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from purejaxql_tpu.envs import spaces
@@ -88,8 +89,8 @@ class Pendulum(Environment):
         return jnp.array([jnp.cos(state.theta), jnp.sin(state.theta), state.theta_dot])
 
     def observation_space(self, params):
-        high = jnp.array([1.0, 1.0, params.max_speed])
-        return spaces.Box(-high, high, (3,), jnp.float32)
+        high = np.array([1.0, 1.0, params.max_speed], np.float32)
+        return spaces.Box(-high, high, (3,), np.float32)
 
     def action_space(self, params=None):
         p = params if params is not None else self.default_params

@@ -144,12 +144,17 @@ class BatchEnv(Wrapper):
         super().__init__(env)
         self.num_envs = num_envs
 
+    # Key discipline matches the reference exactly (split once, then fan
+    # out the SECOND half over envs — craftax_wrappers.py:33-45), so batched
+    # env streams are bitwise-identical to the reference's.
     def reset(self, key, params=None):
-        keys = jax.random.split(key, self.num_envs)
+        key, _key = jax.random.split(key)
+        keys = jax.random.split(_key, self.num_envs)
         return jax.vmap(self._env.reset, in_axes=(0, None))(keys, params)
 
     def step(self, key, state, action, params=None):
-        keys = jax.random.split(key, self.num_envs)
+        key, _key = jax.random.split(key)
+        keys = jax.random.split(_key, self.num_envs)
         return jax.vmap(self._env.step, in_axes=(0, 0, 0, None))(
             keys, state, action, params
         )
@@ -192,31 +197,40 @@ class OptimisticResetVecEnv(Wrapper):
         self.reset_ratio = reset_ratio
         self.num_resets = num_envs // reset_ratio
 
+    # Key discipline chains split(key) per phase and fans out the second
+    # half, exactly like craftax_wrappers.py:105-131 — required for bitwise
+    # parity with reference env streams.
     def reset(self, key, params=None):
-        keys = jax.random.split(key, self.num_envs)
+        key, _key = jax.random.split(key)
+        keys = jax.random.split(_key, self.num_envs)
         return jax.vmap(self._env.reset_env, in_axes=(0, None))(keys, params)
 
     def step(self, key, state, action, params=None):
-        key_step, key_reset, key_choice = jax.random.split(key, 3)
-        step_keys = jax.random.split(key_step, self.num_envs)
+        key, _key = jax.random.split(key)
+        step_keys = jax.random.split(_key, self.num_envs)
         obs_st, state_st, reward, done, info = jax.vmap(
             self._env.step_env, in_axes=(0, 0, 0, None)
         )(step_keys, state, action, params)
 
-        reset_keys = jax.random.split(key_reset, self.num_resets)
+        key, _key = jax.random.split(key)
+        reset_keys = jax.random.split(_key, self.num_resets)
         obs_re, state_re = jax.vmap(self._env.reset_env, in_axes=(0, None))(
             reset_keys, params
         )
 
         # Default slot map gives every env a reset slot; done envs chosen by
         # weighted sampling get dedicated distinct slots so simultaneous
-        # resets are independent up to num_resets of them.
+        # resets are independent up to num_resets of them. `p=done` verbatim
+        # (craftax_wrappers.py:125-131): when nothing is done the normalized
+        # weights are NaN and the sampled slots are arbitrary, but the
+        # gathered reset states are then fully discarded by the select.
+        key, _key = jax.random.split(key)
         reset_indexes = jnp.arange(self.num_resets).repeat(self.reset_ratio)
         being_reset = jax.random.choice(
-            key_choice,
+            _key,
             jnp.arange(self.num_envs),
             shape=(self.num_resets,),
-            p=done.astype(jnp.float32) + 1e-9,
+            p=done,
             replace=False,
         )
         reset_indexes = reset_indexes.at[being_reset].set(

@@ -68,16 +68,20 @@ class BatchRenorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # Fast-variance form E[x^2] - E[x]^2, exactly like flax's
+            # _compute_stats(use_fast_variance=True) which the reference's
+            # BatchRenorm calls (utils/batch_renorm.py:85-91) — the two-pass
+            # jnp.var differs in the last ulp and breaks bitwise parity.
+            # It also makes cross-replica stats exact: pmean of the two
+            # moments over the mesh axis IS the global-batch statistic.
             batch_mean = jnp.mean(x, axis=reduction_axes)
-            batch_var = jnp.var(x, axis=reduction_axes)
+            mean2 = jnp.mean(jax.lax.square(x), axis=reduction_axes)
             if self.axis_name is not None and not self.is_initializing():
-                # cross-replica statistics over the sharded batch
                 batch_mean = jax.lax.pmean(batch_mean, self.axis_name)
-                mean_of_sq = jax.lax.pmean(
-                    batch_var + batch_mean_local_sq(x, reduction_axes),
-                    self.axis_name,
-                )
-                batch_var = mean_of_sq - jnp.square(batch_mean)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            # clamp: roundoff can make the fast variance negative, which
+            # would NaN the sqrt in the renorm d-shift (flax does the same)
+            batch_var = jnp.maximum(0.0, mean2 - jax.lax.square(batch_mean))
 
             mean, var = batch_mean, batch_var
             if not self.is_initializing():
@@ -113,13 +117,13 @@ class BatchRenorm(nn.Module):
                 )
                 steps.value = steps.value + 1
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # flax _normalize arithmetic order (scale folded into the rsqrt
+        # multiplier BEFORE the product with y) for bitwise parity.
+        y = x - mean
+        mul = jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale:
-            y = y * self.param("scale", nn.initializers.ones, (features,))
+            mul = mul * self.param("scale", nn.initializers.ones, (features,))
+        y = y * mul
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (features,))
         return y
-
-
-def batch_mean_local_sq(x, reduction_axes):
-    return jnp.square(jnp.mean(x, axis=reduction_axes))

@@ -118,11 +118,16 @@ class CNNQNetwork(nn.Module):
         else:
             _ = input_norm(x)
             x = x / self.input_scale
+        # name="CNN_0": flax folds the module path into every param's init
+        # key, and the reference's trunk class is named `CNN` in both the
+        # minatar and atari scripts (pqn_minatar.py:24, pqn_atari.py:27) —
+        # matching the auto-generated path keeps init bitwise-identical.
         if self.trunk == "nature":
             x = NatureCNN(
                 norm_type=self.norm_type,
                 norm_axis_name=self.norm_axis_name,
                 dtype=self.dtype,
+                name="CNN_0",
             )(x, train)
         else:
             x = MinAtarCNN(
@@ -130,6 +135,7 @@ class CNNQNetwork(nn.Module):
                 norm_axis_name=self.norm_axis_name,
                 hidden_size=self.hidden_size,
                 dtype=self.dtype,
+                name="CNN_0",
             )(x, train)
         q = nn.Dense(self.action_dim, dtype=self.dtype)(x)
         return q.astype(jnp.float32)

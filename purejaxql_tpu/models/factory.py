@@ -12,6 +12,23 @@ from purejaxql_tpu.models.cnn import CNNQNetwork
 from purejaxql_tpu.models.qnet import QNetwork
 
 
+def resolve_norms(config):
+    """(norm_type, input_norm_type) with the reference's per-family mapping:
+    the craftax scripts use BatchRenorm wherever the gymnax scripts use
+    BatchNorm — for the input norm/dummy AND for NORM_TYPE="batch_norm"
+    (pqn_craftax.py:41-51, pqn_rnn_craftax.py:74-87 vs pqn_gymnax.py:38-54).
+    Explicit INPUT_NORM_TYPE / literal "batch_renorm" NORM_TYPE override."""
+    family = str(config.get("ALG_NAME", ""))
+    is_craftax = "craftax" in family
+    norm_type = config["NORM_TYPE"]
+    if is_craftax and norm_type == "batch_norm":
+        norm_type = "batch_renorm"
+    input_norm_type = config.get(
+        "INPUT_NORM_TYPE", "batch_renorm" if is_craftax else "batch_norm"
+    )
+    return norm_type, input_norm_type
+
+
 def make_q_network(
     config,
     action_dim: int,
@@ -22,14 +39,16 @@ def make_q_network(
     arch = config.get("ARCH")
     if arch is None:
         arch = "cnn" if len(obs_shape) >= 3 else "mlp"
+    norm_type, input_norm_type = resolve_norms(config)
 
     if arch == "mlp":
         return QNetwork(
             action_dim=action_dim,
             hidden_size=config.get("HIDDEN_SIZE", 128),
             num_layers=config.get("NUM_LAYERS", 2),
-            norm_type=config["NORM_TYPE"],
+            norm_type=norm_type,
             norm_input=config.get("NORM_INPUT", False),
+            input_norm_type=input_norm_type,
             norm_axis_name=norm_axis_name,
             dtype=dtype,
         )

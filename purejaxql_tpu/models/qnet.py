@@ -28,15 +28,26 @@ class QNetwork(nn.Module):
     num_layers: int = 2
     norm_type: str = "layer_norm"
     norm_input: bool = False
+    # The craftax-family scripts use BatchRenorm (not BatchNorm) for the
+    # input norm and its dummy (pqn_craftax.py:41-46); the flax module path
+    # differs, so this must match per family for bitwise init parity.
+    input_norm_type: str = "batch_norm"
     norm_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
         x = x.astype(self.dtype)
-        input_norm = nn.BatchNorm(
-            use_running_average=not train, axis_name=self.norm_axis_name
-        )
+        if self.input_norm_type == "batch_renorm":
+            from purejaxql_tpu.models.batch_renorm import BatchRenorm
+
+            input_norm = BatchRenorm(
+                use_running_average=not train, axis_name=self.norm_axis_name
+            )
+        else:
+            input_norm = nn.BatchNorm(
+                use_running_average=not train, axis_name=self.norm_axis_name
+            )
         if self.norm_input:
             x = input_norm(x)
         else:

@@ -83,6 +83,7 @@ class RNNQNetwork(nn.Module):
     cell_type: str = "gru"
     norm_input: bool = False
     norm_type: str = "layer_norm"
+    input_norm_type: str = "batch_norm"
     norm_axis_name: Optional[str] = None
     add_last_action: bool = False
     dueling: bool = False
@@ -104,9 +105,20 @@ class RNNQNetwork(nn.Module):
         else:
             normalize = lambda h: h
 
-        input_norm = nn.BatchNorm(
-            use_running_average=not train, axis_name=self.norm_axis_name
-        )
+        # craftax-family RNN scripts use BatchRenorm for the input norm and
+        # its dummy (pqn_rnn_craftax.py:83-87); gymnax-family uses BatchNorm
+        # (pqn_rnn_gymnax.py:74-78). Module path feeds flax's init RNG, so
+        # this choice must match per family for bitwise parity.
+        if self.input_norm_type == "batch_renorm":
+            from purejaxql_tpu.models.batch_renorm import BatchRenorm
+
+            input_norm = BatchRenorm(
+                use_running_average=not train, axis_name=self.norm_axis_name
+            )
+        else:
+            input_norm = nn.BatchNorm(
+                use_running_average=not train, axis_name=self.norm_axis_name
+            )
         if self.norm_input:
             x = input_norm(x)
         else:
