@@ -71,6 +71,22 @@ WORKLOADS = {
     # bf16 trunk fast path (opt-in, non-default): learning verified on
     # Breakout (test return 26.9 vs 28.5 f32 on the same budget); detail
     # row only, excluded from the headline geomean.
+    # EVAL_SUBSAMPLE=8 cuts the in-graph eval to 16 test envs at unchanged
+    # cadence/horizon; training params are bit-identical to subsample=1
+    # (tests/test_pqn_train.py::test_eval_subsample_identical_params) —
+    # this row quantifies the recovered eval tax. Detail row only.
+    "minatar_eval8": dict(
+        alg="pqn_minatar",
+        overrides=[
+            "ENV_NAME=Breakout-MinAtar",
+            "TOTAL_TIMESTEPS=2000000",
+            "TOTAL_TIMESTEPS_DECAY=2000000",
+            "COLLECT_METRICS=False",
+            "EVAL_SUBSAMPLE=8",
+        ],
+        total=int(2e6),
+        headline=False,
+    ),
     "minatar_bf16": dict(
         alg="pqn_minatar",
         overrides=[

@@ -47,6 +47,23 @@ def episode_mean_metrics(
     return jax.tree_util.tree_map(_global_mean, infos)
 
 
+def apply_eval_subsample(config: Dict[str, Any]) -> Dict[str, Any]:
+    """EVAL_SUBSAMPLE=k runs the in-graph eval with TEST_NUM_ENVS/k envs at
+    unchanged cadence and horizon — an unbiased cut of the eval tax (fewer
+    episode samples, same episode-length distribution). k=1 (default) keeps
+    the reference eval exactly, preserving bitwise parity; the in-graph eval
+    at reference cadence otherwise costs up to ~35% of wall-clock at MinAtar
+    scale (TEST_NUM_ENVS=128 x TEST_NUM_STEPS=max-episode every 5% of
+    updates, pqn_gymnax.py:333-343,364-406).
+
+    Mutates and returns `config`; call before the test env is built.
+    """
+    sub = int(config.get("EVAL_SUBSAMPLE", 1))
+    if sub > 1 and "TEST_NUM_ENVS" in config:
+        config["TEST_NUM_ENVS"] = max(config["TEST_NUM_ENVS"] // sub, 1)
+    return config
+
+
 def test_interval_updates(config: Dict[str, Any]) -> int:
     """Number of updates between in-graph evals.
 

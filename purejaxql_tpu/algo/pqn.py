@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from purejaxql_tpu.algo.exploration import eps_greedy_batch
 from purejaxql_tpu.algo.metrics import (
+    apply_eval_subsample,
     episode_mean_metrics,
     test_interval_updates,
 )
@@ -122,7 +123,7 @@ def make_train(
     layout over ICI that BASELINE.json's north star asks for.
     """
 
-    config = dict(config)
+    config = apply_eval_subsample(dict(config))
     config["TOTAL_TIMESTEPS"] = int(float(config["TOTAL_TIMESTEPS"]))
     config["TOTAL_TIMESTEPS_DECAY"] = int(
         float(config.get("TOTAL_TIMESTEPS_DECAY", config["TOTAL_TIMESTEPS"]))

@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from purejaxql_tpu.algo.metrics import (
+    apply_eval_subsample,
     episode_mean_metrics,
     test_interval_updates,
 )
@@ -76,7 +77,7 @@ def make_train(
     logger: Optional[MetricLogger] = None,
     pmap_axis: Optional[str] = None,
 ) -> Callable:
-    config = dict(config)
+    config = apply_eval_subsample(dict(config))
     config["TOTAL_TIMESTEPS"] = int(float(config["TOTAL_TIMESTEPS"]))
     config["NUM_UPDATES"] = (
         config["TOTAL_TIMESTEPS"] // config["NUM_STEPS"] // config["NUM_ENVS"]

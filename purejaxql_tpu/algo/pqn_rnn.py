@@ -35,6 +35,7 @@ import numpy as np
 
 from purejaxql_tpu.algo.exploration import eps_greedy_batch
 from purejaxql_tpu.algo.metrics import (
+    apply_eval_subsample,
     episode_mean_metrics,
     test_interval_updates,
 )
@@ -53,7 +54,7 @@ def make_train(
     logger: Optional[MetricLogger] = None,
     pmap_axis: Optional[str] = None,
 ) -> Callable:
-    config = dict(config)
+    config = apply_eval_subsample(dict(config))
     config["TOTAL_TIMESTEPS"] = int(float(config["TOTAL_TIMESTEPS"]))
     config["TOTAL_TIMESTEPS_DECAY"] = int(
         float(config.get("TOTAL_TIMESTEPS_DECAY", config["TOTAL_TIMESTEPS"]))

@@ -25,6 +25,7 @@ import numpy as np
 
 from purejaxql_tpu.algo.types import MARLTransition
 from purejaxql_tpu.algo.metrics import (
+    apply_eval_subsample,
     episode_mean_metrics,
     test_interval_updates,
 )
@@ -70,7 +71,7 @@ def make_train(
     pmap_axis: Optional[str] = None,
     env=None,
 ) -> Callable:
-    config = dict(config)
+    config = apply_eval_subsample(dict(config))
     config["TOTAL_TIMESTEPS"] = int(float(config["TOTAL_TIMESTEPS"]))
     config["NUM_UPDATES"] = (
         config["TOTAL_TIMESTEPS"] // config["NUM_STEPS"] // config["NUM_ENVS"]

@@ -129,3 +129,25 @@ def test_acrobot_learns():
     outs = run(config)
     tr = np.asarray(outs["metrics"]["test/returned_episode_returns"][0])
     assert tr[-5:].mean() > -160, tr[-10:]
+
+
+def test_eval_subsample_identical_params():
+    """EVAL_SUBSAMPLE only shrinks the eval env batch: the training RNG
+    stream and every parameter update are bit-identical to subsample=1."""
+    base = tiny_config(
+        TEST_DURING_TRAINING=True, TEST_NUM_ENVS=32, TEST_NUM_STEPS=64
+    )
+    sub = tiny_config(
+        TEST_DURING_TRAINING=True, TEST_NUM_ENVS=32, TEST_NUM_STEPS=64,
+        EVAL_SUBSAMPLE=4,
+    )
+    a = run(base)
+    b = run(sub)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(a["runner_state"][0].params),
+        jax.tree_util.tree_leaves(b["runner_state"][0].params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # eval itself ran with fewer envs but still produced finite returns
+    tr = np.asarray(b["metrics"]["test/returned_episode_returns"][0])
+    assert np.isfinite(tr[-1])
