@@ -10,10 +10,11 @@ stepwise host loop. Each segment is still a fully fused
 scan-over-updates — per-segment dispatch overhead is one program launch.
 
 Schedules (epsilon, LR) are driven by the carried n_updates/grad_steps
-counters against the FULL-horizon decay constants, so the trajectory is
-identical to the unsegmented run up to env-stream RNG (the per-segment
-rng re-split; pass the same rng and the stream differs from the monolith
-— documented, like any resume).
+counters against the FULL-horizon decay constants, and the update scan
+consumes the rng CARRIED in runner_state (the fresh per-call rng argument
+is only read when runner_state is None), so the segmented trajectory is
+**bit-identical to the unsegmented run** — pinned by
+tests/test_segmented.py::test_segmented_bitwise_equals_monolith.
 """
 
 from __future__ import annotations
@@ -62,11 +63,14 @@ def train_segmented(
     runner_state = None
     all_metrics = []
     for seg in range(num_segments):
-        seg_rngs = jax.vmap(jax.random.fold_in, in_axes=(0, None))(rngs, seg)
+        # The same rngs every segment: segment 0 consumes them exactly like
+        # the monolith's train(rng); later segments run off the rng carried
+        # inside runner_state, and this argument only feeds the (discarded)
+        # re-init — so the whole run is bit-identical to one fused program.
         if runner_state is None:
-            outs = fn(seg_rngs)
+            outs = fn(rngs)
         else:
-            outs = fn(seg_rngs, runner_state)
+            outs = fn(rngs, runner_state)
         runner_state = outs["runner_state"]
         # force completion so segment boundaries are real sync points
         np.asarray(runner_state[0].timesteps)

@@ -543,18 +543,17 @@ class Forager(Environment):
         block_onehot = jax.nn.one_hot(window, W.NUM_BLOCK_TYPES)
 
         def mob_channel(mob_pos, alive):
+            # Dense compare instead of a scatter-max: (M, V, V) broadcasting
+            # compares reduce over the mob axis — scatters are the one op
+            # class the TPU serializes, and this runs entirely on the VPU.
             rel = mob_pos - state.pos[None, :] + half
-            in_view = (
-                alive
-                & (rel[:, 0] >= 0) & (rel[:, 0] < VIEW)
-                & (rel[:, 1] >= 0) & (rel[:, 1] < VIEW)
+            ys = jnp.arange(VIEW)
+            hit = (
+                alive[:, None, None]
+                & (rel[:, 0, None, None] == ys[None, :, None])
+                & (rel[:, 1, None, None] == ys[None, None, :])
             )
-            ch = jnp.zeros((VIEW, VIEW))
-            ch = ch.at[
-                jnp.clip(rel[:, 0], 0, VIEW - 1),
-                jnp.clip(rel[:, 1], 0, VIEW - 1),
-            ].max(in_view.astype(jnp.float32))
-            return ch
+            return hit.any(axis=0).astype(jnp.float32)
 
         mobs = jnp.stack(
             [

@@ -87,3 +87,128 @@ def make_train_spmd(
         check_vma=False,
     )
     return jax.jit(spmd)
+
+
+def make_train_spmd_resumable(
+    config: Dict[str, Any],
+    mesh: Mesh,
+    axis_name: str = "env",
+    logger: Optional[MetricLogger] = None,
+    make_train: Callable = pqn.make_train,
+) -> Callable:
+    """Like `make_train_spmd`, but the returned callable ALSO accepts and
+    returns the full sharded runner_state, so segmented continuation
+    (algo/segmented.py) composes with SPMD: 1e9-step configs can stream
+    metrics/checkpoints at segment boundaries while envs stay sharded over
+    the mesh.
+
+    Sharding of the carried state (FF-PQN runner_state layout
+    ``(train_state, expl_state, test_metrics, rng)``):
+      - train_state: replicated (learner replicas are lockstep),
+      - expl_state (obs + env states): sharded along `axis_name` (axis 0 is
+        the env batch),
+      - test_metrics: replicated (globally aggregated, algo/metrics.py),
+      - rng: sharded — each shard's decorrelated stream round-trips
+        through the continuation exactly.
+
+    Call as ``fn(rng)`` for the first segment and ``fn(rng, runner_state)``
+    (same rng; it only feeds the discarded re-init) for continuations.
+    """
+    n_shards = mesh.shape[axis_name]
+    assert config["NUM_ENVS"] % n_shards == 0
+    local = dict(config)
+    local["NUM_ENVS"] = config["NUM_ENVS"] // n_shards
+    if "TEST_NUM_ENVS" in config:
+        local["TEST_NUM_ENVS"] = max(config["TEST_NUM_ENVS"] // n_shards, 1)
+    local["TOTAL_TIMESTEPS"] = int(float(config["TOTAL_TIMESTEPS"])) // n_shards
+    local["TOTAL_TIMESTEPS_DECAY"] = (
+        int(float(config.get("TOTAL_TIMESTEPS_DECAY", config["TOTAL_TIMESTEPS"])))
+        // n_shards
+    )
+    local["TIMESTEP_SCALE"] = n_shards
+
+    train = make_train(local, logger=logger, pmap_axis=axis_name)
+    runner_specs = (P(), P(axis_name), P(), P(axis_name))
+    out_specs = {
+        "runner_state": runner_specs,
+        "metrics": P(),
+    }
+
+    def body_first(rng):
+        out = train(rng)
+        return {"runner_state": out["runner_state"], "metrics": out["metrics"]}
+
+    def body_cont(rng, runner_state):
+        out = train(rng, runner_state)
+        return {"runner_state": out["runner_state"], "metrics": out["metrics"]}
+
+    first = jax.jit(
+        jax.shard_map(
+            body_first, mesh=mesh, in_specs=P(), out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+    cont = jax.jit(
+        jax.shard_map(
+            body_cont, mesh=mesh, in_specs=(P(), runner_specs),
+            out_specs=out_specs, check_vma=False,
+        )
+    )
+
+    def fn(rng, runner_state=None):
+        if runner_state is None:
+            return first(rng)
+        return cont(rng, runner_state)
+
+    return fn
+
+
+def train_segmented_spmd(
+    config: Dict[str, Any],
+    mesh: Mesh,
+    num_segments: int,
+    rng: Optional[jax.Array] = None,
+    axis_name: str = "env",
+    logger: Optional[MetricLogger] = None,
+    make_train: Callable = pqn.make_train,
+    on_segment: Optional[Callable] = None,
+):
+    """Sharded segmented training: `num_segments` bounded fused executions
+    over the mesh with the full sharded runner_state carried across — the
+    SPMD composition of algo/segmented.train_segmented. Bit-identical to
+    one fused sharded run (same carried-rng argument as single-chip,
+    tests/test_spmd.py::test_spmd_segmented_bitwise_equals_fused)."""
+    import numpy as np
+
+    config = dict(config)
+    total = int(float(config["TOTAL_TIMESTEPS"]))
+    config["TOTAL_TIMESTEPS_DECAY"] = int(
+        float(config.get("TOTAL_TIMESTEPS_DECAY", total))
+    )
+    assert total % num_segments == 0, "num_segments must divide TOTAL_TIMESTEPS"
+    seg_config = dict(config)
+    seg_config["TOTAL_TIMESTEPS"] = total // num_segments
+
+    rng = jax.random.PRNGKey(config.get("SEED", 0)) if rng is None else rng
+    fn = make_train_spmd_resumable(
+        seg_config, mesh, axis_name=axis_name, logger=logger,
+        make_train=make_train,
+    )
+
+    runner_state = None
+    all_metrics = []
+    for seg in range(num_segments):
+        outs = fn(rng, runner_state)
+        runner_state = outs["runner_state"]
+        np.asarray(runner_state[0].timesteps)  # real sync point
+        all_metrics.append(outs["metrics"])
+        if on_segment is not None:
+            on_segment(seg, runner_state, outs["metrics"])
+        if logger is not None and not config.get("LOG_VIA_CALLBACK", False):
+            logger.log_history(outs["metrics"])
+
+    metrics = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+        *all_metrics,
+    ) if all_metrics and all_metrics[0] else {}
+    return {"runner_state": runner_state, "metrics": metrics}

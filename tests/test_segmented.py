@@ -56,3 +56,25 @@ def test_segmented_learns_like_monolith():
     assert rets[-20:].mean() > rets[:20].mean() * 2, (
         rets[:20].mean(), rets[-20:].mean()
     )
+
+
+def test_segmented_bitwise_equals_monolith():
+    """Segmentation is free: the 4-segment run's params, counters and env
+    stream are bit-identical to one fused program (the update scan runs off
+    the rng carried in runner_state)."""
+    from purejaxql_tpu.algo.pqn import make_train
+
+    config = seg_config()
+    mono = jax.jit(jax.vmap(make_train(config)))(
+        jax.random.split(jax.random.PRNGKey(0), 1)
+    )
+    seg = train_segmented(config, num_segments=4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(mono["runner_state"][0].params),
+        jax.tree_util.tree_leaves(seg["runner_state"][0].params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(mono["runner_state"][0].timesteps),
+        np.asarray(seg["runner_state"][0].timesteps),
+    )

@@ -66,3 +66,44 @@ def test_spmd_2way_learns_direction():
     out = jax.block_until_ready(make_train_spmd(config, mesh)(jax.random.PRNGKey(0)))
     rets = np.asarray(out["metrics"]["returned_episode_returns"])
     assert np.isfinite(rets).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spmd_segmented_bitwise_equals_fused():
+    """Segmented continuation composes with SPMD: 2 segments sharded 8-way
+    produce bit-identical params AND env states to one fused sharded run
+    (VERDICT round-1 item 5)."""
+    from purejaxql_tpu.parallel.spmd import (
+        make_train_spmd_resumable,
+        train_segmented_spmd,
+    )
+
+    config = compose(
+        alg="pqn_cartpole",
+        overrides=[
+            "TOTAL_TIMESTEPS=16384", "TOTAL_TIMESTEPS_DECAY=16384",
+            "NUM_ENVS=32", "NUM_STEPS=16", "NUM_MINIBATCHES=2",
+            "NUM_EPOCHS=1", "HIDDEN_SIZE=32", "TEST_DURING_TRAINING=False",
+        ],
+    )
+    mesh = make_mesh(env=8)
+    rng = jax.random.PRNGKey(0)
+
+    fused = make_train_spmd_resumable(config, mesh)(rng)
+    seg = train_segmented_spmd(config, mesh, num_segments=2, rng=rng)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fused["runner_state"][0].params),
+        jax.tree_util.tree_leaves(seg["runner_state"][0].params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the sharded env states round-trip bit-exactly through continuation
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fused["runner_state"][1]),
+        jax.tree_util.tree_leaves(seg["runner_state"][1]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # metrics concatenate to the fused run's update count
+    assert (
+        seg["metrics"]["td_loss"].shape == fused["metrics"]["td_loss"].shape
+    )
