@@ -102,6 +102,29 @@ WORKLOADS = {
 }
 
 
+def run_hostpool_bench() -> float:
+    """Raw C++ env-pool stepping throughput (the EnvPool-role path):
+    128 Breakout-MinAtar envs on the host thread pool, no JAX in the loop.
+    Runtime-independent (the tunneled TPU backend lacks host callbacks, so
+    the in-graph host path is benched on CPU backends; this row isolates
+    the native pool itself)."""
+    from purejaxql_tpu.envs.hostpool import HostEnvPool
+
+    pool = HostEnvPool("Breakout-MinAtar", num_envs=128, seed=0)
+    pool.reset()
+    rng = np.random.RandomState(0)
+    actions = rng.randint(0, pool.num_actions, (50, 128)).astype(np.int32)
+    for a in actions[:10]:  # warmup
+        pool.step(a)
+    steps = 2000
+    t0 = time.time()
+    for i in range(steps):
+        pool.step(actions[i % 50])
+    dt = time.time() - t0
+    pool.close()
+    return 128 * steps / dt
+
+
 def run_workload(name: str) -> float:
     spec = WORKLOADS[name]
     config = compose(alg=spec["alg"], overrides=spec["overrides"])
@@ -138,15 +161,29 @@ def main():
         }
         print(f"# {name}: {sps:,.0f} env-steps/s", file=sys.stderr)
 
+    try:
+        host_sps = run_hostpool_bench()
+        details["envhost_cpp_pool"] = {
+            "env_steps_per_s": round(host_sps),
+            "vs_a40_baseline": None,
+            "headline": False,
+        }
+        print(f"# envhost_cpp_pool: {host_sps:,.0f} env-steps/s", file=sys.stderr)
+    except Exception as e:
+        details["envhost_cpp_pool"] = {"error": f"{type(e).__name__}: {e}"}
+
+    def _headline(k):
+        return k in WORKLOADS and WORKLOADS[k].get("headline", True)
+
     ok = [
         v["env_steps_per_s"]
         for k, v in details.items()
-        if "env_steps_per_s" in v and WORKLOADS[k].get("headline", True)
+        if "env_steps_per_s" in v and _headline(k)
     ]
     ratios = [
         v["vs_a40_baseline"]
         for k, v in details.items()
-        if v.get("vs_a40_baseline") and WORKLOADS[k].get("headline", True)
+        if v.get("vs_a40_baseline") and _headline(k)
     ]
     geo = float(np.exp(np.mean(np.log(ok)))) if ok else 0.0
     geo_ratio = float(np.exp(np.mean(np.log(ratios)))) if ratios else 0.0

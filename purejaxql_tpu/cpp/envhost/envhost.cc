@@ -17,9 +17,11 @@
 //  - everything crosses the ABI as flat float32/int32 buffers allocated
 //    by the caller (numpy arrays on the Python side).
 //
-// Environments implemented natively: CartPole-v1 and Acrobot-v1 with the
-// same dynamics as the JAX in-graph versions (envs/classic/*.py), so the
-// host path can be validated against the device path.
+// Environments implemented natively: CartPole-v1, Acrobot-v1, and all
+// five MinAtar games (Breakout, Asterix, Freeway, SpaceInvaders,
+// Seaquest) with the same dynamics as the JAX in-graph versions
+// (envs/classic/*.py, envs/minatar/*.py), so the host path can be
+// validated against the device path.
 
 #include <algorithm>
 #include <atomic>
@@ -324,10 +326,640 @@ class MinAtarBreakout : public Env {
   int brick_[10][10] = {};
 };
 
+
+// ----------------------------------------------------------------------
+// Asterix-MinAtar (mirrors envs/minatar/asterix.py: 8 entity slots,
+// spawn/move cadences with alternating ramp, gold 1/3, 5 actions,
+// channels [player, enemy, trail, gold])
+// ----------------------------------------------------------------------
+class MinAtarAsterix : public Env {
+ public:
+  void reset(std::mt19937_64& rng, float* obs) override {
+    px_ = 5; py_ = 5;
+    for (int i = 0; i < 8; ++i) exists_[i] = false;
+    spawn_speed_ = 10; spawn_timer_ = 10;
+    move_speed_ = 5; move_timer_ = 5;
+    ramp_timer_ = 100; ramp_index_ = 0;
+    terminal_ = false; t_ = 0;
+    write_obs(obs);
+  }
+
+  void step(std::mt19937_64& rng, int action, float* obs, float* reward,
+            uint8_t* done) override {
+    float r = 0.0f;
+
+    // spawn
+    bool do_spawn = spawn_timer_ == 0;
+    if (do_spawn) {
+      int free_slots[8], n_free = 0;
+      for (int i = 0; i < 8; ++i)
+        if (!exists_[i]) free_slots[n_free++] = i;
+      if (n_free > 0) {
+        int slot = free_slots[rng() % n_free];
+        bool lr = (rng() & 1) != 0;
+        bool gold = std::uniform_real_distribution<double>(0, 1)(rng) <
+                    (1.0 / 3.0);
+        exists_[slot] = true;
+        ex_[slot] = lr ? 0 : 9;
+        elr_[slot] = lr;
+        egold_[slot] = gold;
+      }
+      spawn_timer_ = spawn_speed_;
+    } else {
+      --spawn_timer_;
+    }
+
+    // player move (x 0..9, y 1..8)
+    if (action == 1) px_ = std::max(0, px_ - 1);
+    if (action == 3) px_ = std::min(9, px_ + 1);
+    if (action == 2) py_ = std::max(1, py_ - 1);
+    if (action == 4) py_ = std::min(8, py_ + 1);
+
+    collide(&r);
+
+    // entity move on cadence (off-grid despawn)
+    bool do_move = move_timer_ == 0;
+    if (do_move) {
+      for (int i = 0; i < 8; ++i) {
+        if (!exists_[i]) continue;
+        ex_[i] += elr_[i] ? 1 : -1;
+        if (ex_[i] < 0 || ex_[i] > 9) {
+          exists_[i] = false;
+          ex_[i] = std::clamp(ex_[i], 0, 9);
+        }
+      }
+      move_timer_ = move_speed_;
+    } else {
+      --move_timer_;
+    }
+
+    collide(&r);
+
+    // alternating spawn/move ramp every 100 steps
+    bool can_ramp = spawn_speed_ > 1 || move_speed_ > 1;
+    if (can_ramp) {
+      if (ramp_timer_ <= 0) {
+        if (ramp_index_ % 2 == 1 && move_speed_ > 1) --move_speed_;
+        if (ramp_index_ % 2 == 0 && spawn_speed_ > 1) --spawn_speed_;
+        ++ramp_index_;
+        ramp_timer_ = 100;
+      } else {
+        --ramp_timer_;
+      }
+    }
+
+    ++t_;
+    bool term = terminal_ || t_ >= 1000;
+    *reward = r;
+    *done = term ? 1 : 0;
+    if (term) reset(rng, obs); else write_obs(obs);
+  }
+
+  int obs_dim() const override { return 10 * 10 * 4; }
+  int num_actions() const override { return 5; }
+  std::vector<int> obs_shape() const override { return {10, 10, 4}; }
+
+ private:
+  void collide(float* r) {
+    for (int i = 0; i < 8; ++i) {
+      int row = i + 1;
+      if (exists_[i] && ex_[i] == px_ && row == py_) {
+        if (egold_[i]) *r += 1.0f; else terminal_ = true;
+        exists_[i] = false;
+      }
+    }
+  }
+
+  void write_obs(float* obs) const {
+    std::memset(obs, 0, sizeof(float) * 400);
+    auto at = [&](int y, int x, int c) -> float& {
+      return obs[(y * 10 + x) * 4 + c];
+    };
+    at(py_, px_, 0) = 1.0f;
+    for (int i = 0; i < 8; ++i) {
+      if (!exists_[i]) continue;
+      int row = i + 1;
+      at(row, ex_[i], egold_[i] ? 3 : 1) = 1.0f;
+      int trail = std::clamp(ex_[i] + (elr_[i] ? -1 : 1), 0, 9);
+      at(row, trail, 2) = 1.0f;
+    }
+  }
+
+  int px_ = 5, py_ = 5;
+  bool exists_[8] = {}; int ex_[8] = {}; bool elr_[8] = {}, egold_[8] = {};
+  int spawn_speed_ = 10, spawn_timer_ = 10;
+  int move_speed_ = 5, move_timer_ = 5;
+  int ramp_timer_ = 100, ramp_index_ = 0;
+  bool terminal_ = false;
+  int t_ = 0;
+};
+
+// ----------------------------------------------------------------------
+// Freeway-MinAtar (mirrors envs/minatar/freeway.py: chicken at column 4,
+// 8 lanes with per-lane speed timers, 3-step move cooldown, 2500-step
+// episodes, channels [chicken, car, speed-trail by |speed|])
+// ----------------------------------------------------------------------
+class MinAtarFreeway : public Env {
+ public:
+  void reset(std::mt19937_64& rng, float* obs) override {
+    randomize_cars(rng, /*keep_x=*/false);
+    pos_ = 9; move_timer_ = 0; t_ = 0;
+    write_obs(obs);
+  }
+
+  void step(std::mt19937_64& rng, int action, float* obs, float* reward,
+            uint8_t* done) override {
+    bool moved = move_timer_ == 0 && action != 0;
+    if (moved) {
+      pos_ = std::clamp(pos_ + (action == 1 ? -1 : 1), 0, 9);
+      move_timer_ = 3;
+    } else {
+      move_timer_ = std::max(0, move_timer_ - 1);
+    }
+
+    bool scored = pos_ == 0;
+    *reward = scored ? 1.0f : 0.0f;
+    if (scored) {
+      randomize_cars(rng, /*keep_x=*/true);
+      pos_ = 9;
+    }
+
+    bool hit = false;
+    for (int i = 0; i < 8; ++i)
+      if (car_x_[i] == 4 && i + 1 == pos_) hit = true;
+    for (int i = 0; i < 8; ++i) {
+      if (car_timer_[i] <= 0) {
+        car_x_[i] += car_speed_[i] > 0 ? 1 : -1;
+        if (car_x_[i] < 0) car_x_[i] = 9;
+        if (car_x_[i] > 9) car_x_[i] = 0;
+        car_timer_[i] = std::abs(car_speed_[i]);
+      } else {
+        --car_timer_[i];
+      }
+    }
+    for (int i = 0; i < 8; ++i)
+      if (car_x_[i] == 4 && i + 1 == pos_) hit = true;
+    if (hit) pos_ = 9;
+
+    ++t_;
+    bool term = t_ >= 2500;
+    *done = term ? 1 : 0;
+    if (term) reset(rng, obs); else write_obs(obs);
+  }
+
+  int obs_dim() const override { return 10 * 10 * 7; }
+  int num_actions() const override { return 3; }
+  std::vector<int> obs_shape() const override { return {10, 10, 7}; }
+
+ private:
+  void randomize_cars(std::mt19937_64& rng, bool keep_x) {
+    for (int i = 0; i < 8; ++i) {
+      int speed = 1 + static_cast<int>(rng() % 5);
+      int dir = (rng() & 1) ? 1 : -1;
+      car_timer_[i] = speed;
+      car_speed_[i] = speed * dir;
+      if (!keep_x) car_x_[i] = static_cast<int>(rng() % 10);
+    }
+  }
+
+  void write_obs(float* obs) const {
+    std::memset(obs, 0, sizeof(float) * 700);
+    auto at = [&](int y, int x, int c) -> float& {
+      return obs[(y * 10 + x) * 7 + c];
+    };
+    at(pos_, 4, 0) = 1.0f;
+    for (int i = 0; i < 8; ++i) {
+      int row = i + 1;
+      at(row, car_x_[i], 1) = 1.0f;
+      int back = car_x_[i] + (car_speed_[i] > 0 ? -1 : 1);
+      if (back < 0) back = 9;
+      if (back > 9) back = 0;
+      at(row, back, 1 + std::abs(car_speed_[i])) = 1.0f;
+    }
+  }
+
+  int pos_ = 9, move_timer_ = 0, t_ = 0;
+  int car_x_[8] = {}, car_timer_[8] = {}, car_speed_[8] = {};
+};
+
+// ----------------------------------------------------------------------
+// SpaceInvaders-MinAtar (mirrors envs/minatar/space_invaders.py: marching
+// 4x6 alien grid, wall drops, nearest-column return fire, wave respawn
+// with ramped march, channels [cannon, alien, alien_left, alien_right,
+// friendly_bullet, enemy_bullet])
+// ----------------------------------------------------------------------
+class MinAtarSpaceInvaders : public Env {
+ public:
+  void reset(std::mt19937_64& rng, float* obs) override {
+    pos_ = 5;
+    std::memset(f_bullets_, 0, sizeof(f_bullets_));
+    std::memset(e_bullets_, 0, sizeof(e_bullets_));
+    std::memset(aliens_, 0, sizeof(aliens_));
+    for (int y = 0; y < 4; ++y)
+      for (int x = 2; x < 8; ++x) aliens_[y][x] = 1;
+    alien_dir_ = -1;
+    enemy_move_interval_ = 12;
+    alien_move_timer_ = 12;
+    alien_shot_timer_ = 10;
+    ramp_index_ = 0; shot_timer_ = 0;
+    terminal_ = false; t_ = 0;
+    write_obs(obs);
+  }
+
+  void step(std::mt19937_64& rng, int action, float* obs, float* reward,
+            uint8_t* done) override {
+    bool fire = action == 3 && shot_timer_ == 0;
+    if (action == 1) pos_ = std::max(0, pos_ - 1);
+    if (action == 2) pos_ = std::min(9, pos_ + 1);
+    if (fire) {
+      f_bullets_[9][pos_] = 1;
+      shot_timer_ = 5;
+    } else {
+      shot_timer_ = std::max(0, shot_timer_ - 1);
+    }
+
+    // bullets travel (friendly up, enemy down)
+    for (int y = 0; y < 9; ++y)
+      std::memcpy(f_bullets_[y], f_bullets_[y + 1], sizeof(f_bullets_[y]));
+    std::memset(f_bullets_[9], 0, sizeof(f_bullets_[9]));
+    for (int y = 9; y > 0; --y)
+      std::memcpy(e_bullets_[y], e_bullets_[y - 1], sizeof(e_bullets_[y]));
+    std::memset(e_bullets_[0], 0, sizeof(e_bullets_[0]));
+    if (e_bullets_[9][pos_]) terminal_ = true;
+
+    // alien march
+    bool do_move = alien_move_timer_ == 0;
+    if (do_move) {
+      bool at_edge = false;
+      for (int y = 0; y < 10; ++y) {
+        if (alien_dir_ < 0 && aliens_[y][0]) at_edge = true;
+        if (alien_dir_ > 0 && aliens_[y][9]) at_edge = true;
+      }
+      if (at_edge) {
+        for (int x = 0; x < 10; ++x)
+          if (aliens_[9][x]) terminal_ = true;
+        alien_dir_ = -alien_dir_;
+        // drop one row (roll down)
+        for (int y = 9; y > 0; --y)
+          std::memcpy(aliens_[y], aliens_[y - 1], sizeof(aliens_[y]));
+        std::memset(aliens_[0], 0, sizeof(aliens_[0]));
+      } else {
+        // shift horizontally by the PRE-flip direction (matches the JAX
+        // twin, which shifts with state.alien_dir)
+        if (alien_dir_ < 0) {
+          for (int y = 0; y < 10; ++y) {
+            int first = aliens_[y][0];
+            for (int x = 0; x < 9; ++x) aliens_[y][x] = aliens_[y][x + 1];
+            aliens_[y][9] = first;
+          }
+        } else {
+          for (int y = 0; y < 10; ++y) {
+            int last = aliens_[y][9];
+            for (int x = 9; x > 0; --x) aliens_[y][x] = aliens_[y][x - 1];
+            aliens_[y][0] = last;
+          }
+        }
+      }
+      int count = 0;
+      for (auto& row : aliens_) for (int v : row) count += v;
+      alien_move_timer_ = std::min(count, enemy_move_interval_);
+    } else {
+      --alien_move_timer_;
+    }
+    if (aliens_[9][pos_]) terminal_ = true;
+
+    // alien return fire from the column nearest the cannon (lowest alien)
+    bool do_shoot = alien_shot_timer_ == 0;
+    if (do_shoot) {
+      int best_col = -1, best_dist = 100;
+      for (int x = 0; x < 10; ++x) {
+        bool has = false;
+        for (int y = 0; y < 10; ++y) has = has || aliens_[y][x];
+        if (has && std::abs(x - pos_) < best_dist) {
+          best_dist = std::abs(x - pos_);
+          best_col = x;
+        }
+      }
+      if (best_col >= 0) {
+        int row = 0;
+        for (int y = 0; y < 10; ++y)
+          if (aliens_[y][best_col]) row = y;
+        e_bullets_[row][best_col] = 1;
+      }
+      alien_shot_timer_ = 10;
+    } else {
+      --alien_shot_timer_;
+    }
+
+    // kills
+    float r = 0.0f;
+    for (int y = 0; y < 10; ++y)
+      for (int x = 0; x < 10; ++x)
+        if (aliens_[y][x] && f_bullets_[y][x]) {
+          r += 1.0f;
+          aliens_[y][x] = 0;
+          f_bullets_[y][x] = 0;
+        }
+
+    // wave cleared -> respawn + ramp
+    int remaining = 0;
+    for (auto& row : aliens_) for (int v : row) remaining += v;
+    if (remaining == 0) {
+      for (int y = 0; y < 4; ++y)
+        for (int x = 2; x < 8; ++x) aliens_[y][x] = 1;
+      if (enemy_move_interval_ > 6) --enemy_move_interval_;
+      ++ramp_index_;
+    }
+
+    ++t_;
+    bool term = terminal_ || t_ >= 1000;
+    *reward = r;
+    *done = term ? 1 : 0;
+    if (term) reset(rng, obs); else write_obs(obs);
+  }
+
+  int obs_dim() const override { return 10 * 10 * 6; }
+  int num_actions() const override { return 4; }
+  std::vector<int> obs_shape() const override { return {10, 10, 6}; }
+
+ private:
+  void write_obs(float* obs) const {
+    std::memset(obs, 0, sizeof(float) * 600);
+    auto at = [&](int y, int x, int c) -> float& {
+      return obs[(y * 10 + x) * 6 + c];
+    };
+    at(9, pos_, 0) = 1.0f;
+    for (int y = 0; y < 10; ++y)
+      for (int x = 0; x < 10; ++x) {
+        if (aliens_[y][x]) {
+          at(y, x, 1) = 1.0f;
+          at(y, x, alien_dir_ < 0 ? 2 : 3) = 1.0f;
+        }
+        if (f_bullets_[y][x]) at(y, x, 4) = 1.0f;
+        if (e_bullets_[y][x]) at(y, x, 5) = 1.0f;
+      }
+  }
+
+  int pos_ = 5;
+  int f_bullets_[10][10] = {}, e_bullets_[10][10] = {}, aliens_[10][10] = {};
+  int alien_dir_ = -1, enemy_move_interval_ = 12, alien_move_timer_ = 12;
+  int alien_shot_timer_ = 10, ramp_index_ = 0, shot_timer_ = 0;
+  bool terminal_ = false;
+  int t_ = 0;
+};
+
+// ----------------------------------------------------------------------
+// Seaquest-MinAtar (mirrors envs/minatar/seaquest.py: slot-pool entities,
+// oxygen/diver management, surfacing rules, 10 obs channels, 6 actions)
+// ----------------------------------------------------------------------
+class MinAtarSeaquest : public Env {
+  static constexpr int kFish = 8, kSubs = 4, kEB = 4, kFB = 4, kDivers = 4;
+  static constexpr int kMaxO2 = 200;
+
+ public:
+  void reset(std::mt19937_64& rng, float* obs) override {
+    sub_x_ = 5; sub_y_ = 0; sub_or_ = 1;
+    oxygen_ = kMaxO2; divers_ = 0; shot_timer_ = 0;
+    for (int i = 0; i < kFish; ++i) f_ex_[i] = false;
+    for (int i = 0; i < kSubs; ++i) { s_ex_[i] = false; s_shot_[i] = 10; }
+    for (int i = 0; i < kFB; ++i) fb_ex_[i] = false;
+    for (int i = 0; i < kEB; ++i) eb_ex_[i] = false;
+    for (int i = 0; i < kDivers; ++i) d_ex_[i] = false;
+    spawn_timer_ = 20; diver_spawn_timer_ = 30; move_interval_ = 5;
+    surfaced_ = true; terminal_ = false; t_ = 0;
+    write_obs(obs);
+  }
+
+  void step(std::mt19937_64& rng, int action, float* obs, float* reward,
+            uint8_t* done) override {
+    float r = 0.0f;
+
+    // player
+    if (action == 1) sub_x_ = std::max(0, sub_x_ - 1);
+    if (action == 3) sub_x_ = std::min(9, sub_x_ + 1);
+    if (action == 2) sub_y_ = std::max(0, sub_y_ - 1);
+    if (action == 4) sub_y_ = std::min(8, sub_y_ + 1);
+    if (action == 1) sub_or_ = 0;
+    if (action == 3) sub_or_ = 1;
+
+    // fire into a free friendly-bullet slot
+    bool fire = action == 5 && shot_timer_ == 0;
+    int slot = pick_free(rng, fb_ex_, kFB);
+    if (fire && slot >= 0) {
+      fb_ex_[slot] = true;
+      fb_x_[slot] = sub_x_;
+      fb_y_[slot] = sub_y_;
+      fb_dir_[slot] = sub_or_ == 1 ? 1 : -1;
+      shot_timer_ = 5;
+    } else {
+      shot_timer_ = std::max(0, shot_timer_ - 1);
+    }
+
+    // bullets move every step
+    for (int i = 0; i < kFB; ++i)
+      if (fb_ex_[i]) {
+        fb_x_[i] += fb_dir_[i];
+        if (fb_x_[i] < 0 || fb_x_[i] > 9) fb_ex_[i] = false;
+        fb_x_[i] = std::clamp(fb_x_[i], 0, 9);
+      }
+    for (int i = 0; i < kEB; ++i)
+      if (eb_ex_[i]) {
+        eb_x_[i] += eb_dir_[i];
+        if (eb_x_[i] < 0 || eb_x_[i] > 9) eb_ex_[i] = false;
+        eb_x_[i] = std::clamp(eb_x_[i], 0, 9);
+      }
+
+    // enemies/divers move on cadence
+    move_lane(f_ex_, f_x_, f_dir_, f_timer_, kFish, move_interval_);
+    move_lane(s_ex_, s_x_, s_dir_, s_timer_, kSubs, move_interval_);
+    move_lane(d_ex_, d_x_, d_dir_, d_timer_, kDivers, move_interval_ * 2);
+
+    // enemy subs shoot: first eligible sub, into a free enemy-bullet slot
+    for (int i = 0; i < kSubs; ++i)
+      if (s_ex_[i]) --s_shot_[i];
+    int shooter = -1;
+    for (int i = 0; i < kSubs; ++i)
+      if (s_ex_[i] && s_shot_[i] <= 0) { shooter = i; break; }
+    if (shooter >= 0) {
+      int eslot = pick_free(rng, eb_ex_, kEB);
+      if (eslot >= 0) {
+        eb_ex_[eslot] = true;
+        eb_x_[eslot] = s_x_[shooter];
+        eb_y_[eslot] = s_y_[shooter];
+        eb_dir_[eslot] = s_dir_[shooter];
+        s_shot_[shooter] = 10;
+      }
+    }
+
+    // friendly bullets hit enemies (post-move positions)
+    for (int b = 0; b < kFB; ++b) {
+      if (!fb_ex_[b]) continue;
+      for (int i = 0; i < kFish; ++i)
+        if (f_ex_[i] && fb_x_[b] == f_x_[i] && fb_y_[b] == f_y_[i]) {
+          r += 1.0f; f_ex_[i] = false; fb_ex_[b] = false;
+        }
+      if (!fb_ex_[b]) continue;
+      for (int i = 0; i < kSubs; ++i)
+        if (s_ex_[i] && fb_x_[b] == s_x_[i] && fb_y_[b] == s_y_[i]) {
+          r += 1.0f; s_ex_[i] = false; fb_ex_[b] = false;
+        }
+    }
+
+    // spawning
+    if (--spawn_timer_ <= 0) {
+      int lane = 1 + static_cast<int>(rng() % 8);
+      bool lr = (rng() & 1) != 0;
+      bool is_sub =
+          std::uniform_real_distribution<double>(0, 1)(rng) < (1.0 / 3.0);
+      if (is_sub) {
+        int ss = pick_free(rng, s_ex_, kSubs);
+        if (ss >= 0) {
+          s_ex_[ss] = true; s_x_[ss] = lr ? 0 : 9; s_y_[ss] = lane;
+          s_dir_[ss] = lr ? 1 : -1;
+        }
+      } else {
+        int fs = pick_free(rng, f_ex_, kFish);
+        if (fs >= 0) {
+          f_ex_[fs] = true; f_x_[fs] = lr ? 0 : 9; f_y_[fs] = lane;
+          f_dir_[fs] = lr ? 1 : -1;
+        }
+      }
+      spawn_timer_ = 20;
+    }
+    if (--diver_spawn_timer_ <= 0) {
+      int lane = 1 + static_cast<int>(rng() % 8);
+      bool lr = (rng() & 1) != 0;
+      int ds = pick_free(rng, d_ex_, kDivers);
+      if (ds >= 0) {
+        d_ex_[ds] = true; d_x_[ds] = lr ? 0 : 9; d_y_[ds] = lane;
+        d_dir_[ds] = lr ? 1 : -1;
+      }
+      diver_spawn_timer_ = 30;
+    }
+
+    // pick up divers
+    for (int i = 0; i < kDivers; ++i)
+      if (d_ex_[i] && d_x_[i] == sub_x_ && d_y_[i] == sub_y_) {
+        divers_ = std::min(divers_ + 1, 6);
+        d_ex_[i] = false;
+      }
+
+    // enemy contact
+    bool hit_enemy = false;
+    for (int i = 0; i < kFish; ++i)
+      if (f_ex_[i] && f_x_[i] == sub_x_ && f_y_[i] == sub_y_) hit_enemy = true;
+    for (int i = 0; i < kSubs; ++i)
+      if (s_ex_[i] && s_x_[i] == sub_x_ && s_y_[i] == sub_y_) hit_enemy = true;
+    for (int i = 0; i < kEB; ++i)
+      if (eb_ex_[i] && eb_x_[i] == sub_x_ && eb_y_[i] == sub_y_)
+        hit_enemy = true;
+
+    // oxygen / surfacing
+    bool underwater = sub_y_ > 0;
+    if (underwater) --oxygen_;
+    bool now_surfacing = !underwater && !surfaced_;
+    bool fatal_surface = now_surfacing && divers_ == 0;
+    if (now_surfacing && !fatal_surface) {
+      if (divers_ == 6) {
+        r += static_cast<float>(oxygen_) / 10.0f;
+        divers_ = 0;
+      } else {
+        divers_ -= 1;
+      }
+      oxygen_ = kMaxO2;
+    }
+    surfaced_ = !underwater;
+
+    terminal_ = terminal_ || hit_enemy || fatal_surface || oxygen_ < 0;
+    ++t_;
+    bool term = terminal_ || t_ >= 1000;
+    *reward = r;
+    *done = term ? 1 : 0;
+    if (term) reset(rng, obs); else write_obs(obs);
+  }
+
+  int obs_dim() const override { return 10 * 10 * 10; }
+  int num_actions() const override { return 6; }
+  std::vector<int> obs_shape() const override { return {10, 10, 10}; }
+
+ private:
+  static void move_lane(bool* ex, int* x, int* dir, int* timer, int n,
+                        int interval) {
+    for (int i = 0; i < n; ++i) {
+      if (timer[i] <= 0) {
+        if (ex[i]) {
+          x[i] += dir[i];
+          if (x[i] < 0 || x[i] > 9) ex[i] = false;
+          x[i] = std::clamp(x[i], 0, 9);
+        }
+        timer[i] = interval;
+      } else {
+        --timer[i];
+      }
+    }
+  }
+
+  static int pick_free(std::mt19937_64& rng, const bool* ex, int n) {
+    int free_slots[8], n_free = 0;
+    for (int i = 0; i < n; ++i)
+      if (!ex[i]) free_slots[n_free++] = i;
+    if (n_free == 0) return -1;
+    return free_slots[rng() % n_free];
+  }
+
+  void write_obs(float* obs) const {
+    std::memset(obs, 0, sizeof(float) * 1000);
+    auto at = [&](int y, int x, int c) -> float& {
+      return obs[(y * 10 + x) * 10 + c];
+    };
+    at(sub_y_, sub_x_, 0) = 1.0f;
+    at(sub_y_, std::clamp(sub_x_ + (sub_or_ == 1 ? -1 : 1), 0, 9), 1) = 1.0f;
+    for (int i = 0; i < kFB; ++i)
+      if (fb_ex_[i]) {
+        at(fb_y_[i], fb_x_[i], 2) = 1.0f;
+        at(fb_y_[i], std::clamp(fb_x_[i] - fb_dir_[i], 0, 9), 3) = 1.0f;
+      }
+    for (int i = 0; i < kSubs; ++i)
+      if (s_ex_[i]) at(s_y_[i], s_x_[i], 4) = 1.0f;
+    for (int i = 0; i < kEB; ++i)
+      if (eb_ex_[i]) at(eb_y_[i], eb_x_[i], 5) = 1.0f;
+    for (int i = 0; i < kFish; ++i)
+      if (f_ex_[i]) at(f_y_[i], f_x_[i], 6) = 1.0f;
+    for (int i = 0; i < kDivers; ++i)
+      if (d_ex_[i]) at(d_y_[i], d_x_[i], 7) = 1.0f;
+    int oxy_cells = std::clamp(oxygen_ * 10 / kMaxO2, 0, 9);
+    for (int x = 0; x < 10; ++x) {
+      if (x < oxy_cells) at(9, x, 8) = 1.0f;
+      if (x < divers_) at(9, x, 9) = 1.0f;
+    }
+  }
+
+  int sub_x_ = 5, sub_y_ = 0, sub_or_ = 1;
+  int oxygen_ = kMaxO2, divers_ = 0, shot_timer_ = 0;
+  bool f_ex_[kFish] = {}; int f_x_[kFish] = {}, f_y_[kFish] = {},
+      f_dir_[kFish] = {}, f_timer_[kFish] = {};
+  bool s_ex_[kSubs] = {}; int s_x_[kSubs] = {}, s_y_[kSubs] = {},
+      s_dir_[kSubs] = {}, s_timer_[kSubs] = {}, s_shot_[kSubs] = {};
+  bool fb_ex_[kFB] = {}; int fb_x_[kFB] = {}, fb_y_[kFB] = {},
+      fb_dir_[kFB] = {};
+  bool eb_ex_[kEB] = {}; int eb_x_[kEB] = {}, eb_y_[kEB] = {},
+      eb_dir_[kEB] = {};
+  bool d_ex_[kDivers] = {}; int d_x_[kDivers] = {}, d_y_[kDivers] = {},
+      d_dir_[kDivers] = {}, d_timer_[kDivers] = {};
+  int spawn_timer_ = 20, diver_spawn_timer_ = 30, move_interval_ = 5;
+  bool surfaced_ = true, terminal_ = false;
+  int t_ = 0;
+};
+
 std::unique_ptr<Env> make_env(const std::string& name) {
   if (name == "CartPole-v1") return std::make_unique<CartPole>();
   if (name == "Acrobot-v1") return std::make_unique<Acrobot>();
   if (name == "Breakout-MinAtar") return std::make_unique<MinAtarBreakout>();
+  if (name == "Asterix-MinAtar") return std::make_unique<MinAtarAsterix>();
+  if (name == "Freeway-MinAtar") return std::make_unique<MinAtarFreeway>();
+  if (name == "SpaceInvaders-MinAtar")
+    return std::make_unique<MinAtarSpaceInvaders>();
+  if (name == "Seaquest-MinAtar") return std::make_unique<MinAtarSeaquest>();
   return nullptr;
 }
 

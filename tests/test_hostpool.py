@@ -168,3 +168,104 @@ def test_host_cnn_training():
         jax.jit(make_train(config))(jax.random.PRNGKey(0))
     )
     assert np.isfinite(np.asarray(outs["metrics"]["td_loss"])).all()
+
+
+def _jax_random_play_stats(env_name, num_envs, steps, seed=0):
+    """Random-policy (reward_rate, done_rate) for the in-graph twin."""
+    import jax
+    import jax.numpy as jnp
+    from purejaxql_tpu.envs import make
+
+    env, params = make(env_name)
+    n_act = env.action_space(params).n
+
+    def run(key):
+        keys = jax.random.split(key, num_envs)
+        obs, state = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+
+        def body(carry, _):
+            key, state = carry
+            key, ka, ks = jax.random.split(key, 3)
+            act = jax.random.randint(ka, (num_envs,), 0, n_act)
+            sk = jax.random.split(ks, num_envs)
+            obs, state, r, d, _ = jax.vmap(env.step, in_axes=(0, 0, 0, None))(
+                sk, state, act, params
+            )
+            return (key, state), (r.sum(), d.sum())
+        (_, _), (rs, ds) = jax.lax.scan(body, (key, state), None, steps)
+        return rs.sum(), ds.sum()
+
+    r, d = jax.jit(run)(jax.random.PRNGKey(seed))
+    total = num_envs * steps
+    return float(r) / total, float(d) / total
+
+
+def _host_random_play_stats(env_name, num_envs, steps, seed=0):
+    from purejaxql_tpu.envs.hostpool import HostEnvPool
+
+    pool = HostEnvPool(env_name, num_envs=num_envs, seed=seed)
+    pool.reset()
+    rng = np.random.RandomState(seed)
+    tr, td = 0.0, 0
+    for _ in range(steps):
+        a = rng.randint(0, pool.num_actions, num_envs).astype(np.int32)
+        _, r, d = pool.step(a)
+        tr += r.sum()
+        td += d.sum()
+    pool.close()
+    total = num_envs * steps
+    return tr / total, td / total
+
+
+@pytest.mark.parametrize(
+    "game,channels,actions",
+    [
+        ("Asterix-MinAtar", 4, 5),
+        ("Freeway-MinAtar", 7, 3),
+        ("SpaceInvaders-MinAtar", 6, 4),
+        ("Seaquest-MinAtar", 10, 6),
+    ],
+)
+def test_host_game_matches_jax_twin_statistics(game, channels, actions):
+    """Each C++ game must behave like its JAX twin under random play:
+    same obs layout/action set, and reward/done rates in the same regime
+    (dynamics are stochastic, so the cross-check is distributional)."""
+    from purejaxql_tpu.envs.hostpool import HostEnvPool
+
+    pool = HostEnvPool(game, num_envs=4, seed=0)
+    assert pool.obs_shape == (10, 10, channels)
+    assert pool.num_actions == actions
+    obs = pool.reset()
+    assert np.isin(obs, [0.0, 1.0]).all()
+    pool.close()
+
+    hr, hd = _host_random_play_stats(game, 64, 800)
+    jr, jd = _jax_random_play_stats(game, 64, 800)
+    # same regime: rates within ~2x of each other; both-zero also agrees
+    # (Freeway's only terminal is the 2500-step limit, beyond this run)
+    if hd > 0 or jd > 0:
+        assert 0.4 < (hd + 1e-6) / (jd + 1e-6) < 2.5, (game, hd, jd)
+    if jr > 1e-4 or hr > 1e-4:
+        assert 0.3 < (hr + 1e-6) / (jr + 1e-6) < 3.0, (game, hr, jr)
+
+
+def test_host_training_all_games_smoke():
+    """pqn_host trains (one tiny run) on every native game from the CLI
+    config — the 'EnvPool role' completion check."""
+    import jax
+    from purejaxql_tpu.core.config import compose
+    from purejaxql_tpu.algo.pqn_host import make_train
+
+    for game in ["Asterix-MinAtar", "Seaquest-MinAtar"]:
+        config = compose(
+            alg="pqn_host_minatar",
+            overrides=[
+                f"ENV_NAME={game}", "TOTAL_TIMESTEPS=4096",
+                "TOTAL_TIMESTEPS_DECAY=4096", "NUM_ENVS=16", "NUM_STEPS=16",
+                "NUM_MINIBATCHES=4", "NUM_EPOCHS=1",
+            ],
+        )
+        outs = jax.block_until_ready(
+            jax.jit(make_train(config))(jax.random.PRNGKey(0))
+        )
+        assert np.isfinite(np.asarray(outs["metrics"]["td_loss"])).all(), game
