@@ -63,20 +63,23 @@ def gaussian_noise_ladder(
     rng: jax.Array,
     actions: jax.Array,
     noise_std: jax.Array,
-    low: float = -1.0,
-    high: float = 1.0,
+    low,
+    high,
+    scale=1.0,
     linspace: bool = True,
 ) -> jax.Array:
     """Additive exploration noise for deterministic continuous policies.
 
-    With `linspace`, each env in the batch gets a different noise scale in
-    [0, 2*noise_std] so a fixed fraction of envs always explores hard while
-    others stay near-greedy (pqn_mujoco_playground.py:257-260).
+    With `linspace`, env i in the batch explores at std i/(E-1)*noise_std —
+    a ladder from near-greedy to full noise, so some envs always exploit
+    while others always explore (pqn_mujoco_playground.py:257-260).
+    `scale` is the action half-range so noise_std is expressed in
+    normalized action units.
     """
     n_envs = actions.shape[0]
     if linspace:
-        scales = jnp.linspace(0.0, 2.0 * noise_std, n_envs)[:, None]
+        stds = jnp.linspace(0.0, noise_std, n_envs)[:, None]
     else:
-        scales = jnp.full((n_envs, 1), noise_std)
-    noise = jax.random.normal(rng, actions.shape) * scales
+        stds = jnp.full((n_envs, 1), noise_std)
+    noise = jax.random.normal(rng, actions.shape) * stds * scale
     return jnp.clip(actions + noise, low, high)

@@ -26,11 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from purejaxql_tpu.algo.exploration import gaussian_noise_ladder
 from purejaxql_tpu.algo.metrics import (
     apply_eval_subsample,
     episode_mean_metrics,
     test_interval_updates,
 )
+from purejaxql_tpu.algo.returns import lambda_returns
 from purejaxql_tpu.core.optim import make_optimizer
 from purejaxql_tpu.core.train_state import PQNTrainState
 from purejaxql_tpu.envs import make as make_env
@@ -165,9 +167,25 @@ def make_train(
         if pmap_axis is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(pmap_axis))
 
-        def actor_critic_step(train_state, obs, rng, noise_std=0.0, n_envs=None):
-            n_envs = n_envs or config["NUM_ENVS"]
-            action = actor.apply(
+        def ensemble_values(train_state, obs, action, train=False):
+            """Mean-free ensemble apply: (NUM_CRITICS, ...) values."""
+
+            def one(params, batch_stats):
+                return critic.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    obs,
+                    action,
+                    train=train,
+                )
+
+            return jax.vmap(one)(
+                train_state["critic"].params, train_state["critic"].batch_stats
+            )
+
+        def policy_step(train_state, obs, rng, noise_std=0.0):
+            """Greedy actor action, its noise-ladder exploration variant,
+            and the ensemble-mean value of the explored action."""
+            greedy = actor.apply(
                 {
                     "params": train_state["actor"].params,
                     "batch_stats": train_state["actor"].batch_stats,
@@ -175,31 +193,14 @@ def make_train(
                 obs,
                 train=False,
             )
-            original_action = action
             rng, _rng = jax.random.split(rng)
-            if config.get("LINSPACE_NOISE", True):
-                noise_stds = jnp.linspace(0, noise_std, n_envs)
-            else:
-                noise_stds = jnp.full((n_envs,), noise_std)
-            noise = (
-                jax.random.normal(_rng, action.shape)
-                * noise_stds[:, np.newaxis]
-                * action_scale
+            explored = gaussian_noise_ladder(
+                _rng, greedy, noise_std, act_low, act_high,
+                scale=action_scale,
+                linspace=config.get("LINSPACE_NOISE", True),
             )
-            action = jnp.clip(action + noise, act_low, act_high)
-
-            def single_critic(params, batch_stats):
-                return critic.apply(
-                    {"params": params, "batch_stats": batch_stats},
-                    obs,
-                    action,
-                    train=False,
-                )
-
-            values = jax.vmap(single_critic)(
-                train_state["critic"].params, train_state["critic"].batch_stats
-            )
-            return original_action, action, jnp.mean(values, axis=0)
+            value = ensemble_values(train_state, obs, explored).mean(axis=0)
+            return greedy, explored, value
 
         # INIT ENV
         rng, _rng = jax.random.split(rng)
@@ -211,7 +212,7 @@ def make_train(
                 train_state, env_state, last_obs, rng, test_metrics = runner_state
                 noise_std = noise_scheduler(train_state["actor"].n_updates)
                 rng, _rng = jax.random.split(rng)
-                original_action, action, value = actor_critic_step(
+                greedy_action, action, value = policy_step(
                     train_state, last_obs, _rng, noise_std
                 )
                 rng, _rng = jax.random.split(rng)
@@ -221,7 +222,7 @@ def make_train(
                 )
                 transition = ACTransition(
                     done=done.astype(jnp.float32),
-                    original_action=original_action,
+                    original_action=greedy_action,
                     action=action,
                     next_action=action,  # filled after the rollout
                     value=value,
@@ -239,7 +240,7 @@ def make_train(
             train_state, env_state, last_obs, rng, test_metrics = runner_state
             rng, _rng = jax.random.split(rng)
             noise_std = noise_scheduler(train_state["actor"].n_updates)
-            _, last_action, last_val = actor_critic_step(
+            _, last_action, last_val = policy_step(
                 train_state, last_obs, _rng, noise_std
             )
             next_actions = jnp.concatenate(
@@ -247,135 +248,113 @@ def make_train(
             )
             traj_batch = traj_batch.replace(next_action=next_actions)
 
-            # Q(lambda) over ensemble-mean values
-            def _get_target(carry, transition):
-                lam_ret, next_q = carry
-                target_bootstrap = (
-                    transition.reward
-                    + config["GAMMA"] * (1 - transition.done) * next_q
-                )
-                delta = lam_ret - next_q
-                lam_ret = target_bootstrap + config["GAMMA"] * config["LAMBDA"] * delta
-                lam_ret = (1 - transition.done) * lam_ret + transition.done * transition.reward
-                return (lam_ret, transition.value), lam_ret
-
-            last_val = last_val * (1 - traj_batch.done[-1])
-            lambda_returns = traj_batch.reward[-1] + config["GAMMA"] * last_val
-            _, targets = jax.lax.scan(
-                _get_target,
-                (lambda_returns, last_val),
-                jax.tree_util.tree_map(lambda x: x[:-1], traj_batch),
-                reverse=True,
+            # Q(lambda) over ensemble-mean values — the same shared
+            # reverse-scan kernel every family uses (algo/returns.py),
+            # with the recorded values standing in for max-Q
+            targets = lambda_returns(
+                last_val,
+                traj_batch.reward,
+                traj_batch.done,
+                traj_batch.value,
+                config["GAMMA"],
+                config["LAMBDA"],
             )
-            targets = jnp.concatenate((targets, lambda_returns[np.newaxis]))
 
-            def _update_epoch(update_state, unused):
-                def _update_minbatch(train_state, batch_info):
-                    traj_batch, targets = batch_info
+            def _learn_epoch(carry, _):
+                def _learn_phase(train_state, minibatch_and_target):
+                    minibatch, target = minibatch_and_target
 
-                    def _critic_loss_fn(critic_params, traj_batch, targets):
-                        if config.get("USE_QLAMBDA", True):
-                            def single_pass(params, batch_stats):
+                    def _critic_loss_fn(critic_params):
+                        def train_pass(obs, act):
+                            def one(params, batch_stats):
                                 return critic.apply(
-                                    {"params": params, "batch_stats": batch_stats},
-                                    traj_batch.obs,
-                                    traj_batch.action,
-                                    train=True,
-                                    mutable=["batch_stats"],
+                                    {"params": params,
+                                     "batch_stats": batch_stats},
+                                    obs, act,
+                                    train=True, mutable=["batch_stats"],
                                 )
 
-                            values, updates = jax.vmap(single_pass)(
-                                critic_params, train_state["critic"].batch_stats
+                            return jax.vmap(one)(
+                                critic_params,
+                                train_state["critic"].batch_stats,
                             )
+
+                        if config.get("USE_QLAMBDA", True):
+                            values, updates = train_pass(
+                                minibatch.obs, minibatch.action
+                            )
+                            tgt = target
                         else:
-                            def single_pass(params, batch_stats):
-                                all_q, updates = critic.apply(
-                                    {"params": params, "batch_stats": batch_stats},
-                                    jnp.concatenate(
-                                        (traj_batch.obs, traj_batch.next_obs)
-                                    ),
-                                    jnp.concatenate(
-                                        (traj_batch.action, traj_batch.next_action)
-                                    ),
-                                    train=True,
-                                    mutable=["batch_stats"],
-                                )
-                                q, q_next = jnp.split(all_q, 2)
-                                return q, q_next, updates
-
-                            values, next_values, updates = jax.vmap(single_pass)(
-                                critic_params, train_state["critic"].batch_stats
+                            # 1-step TD recomputed per minibatch from the
+                            # stop-gradient ensemble at (next_obs,
+                            # next_action), one fused double-batch pass
+                            all_q, updates = train_pass(
+                                jnp.concatenate(
+                                    (minibatch.obs, minibatch.next_obs)
+                                ),
+                                jnp.concatenate(
+                                    (minibatch.action, minibatch.next_action)
+                                ),
                             )
-                            q_next = jnp.mean(
-                                jax.lax.stop_gradient(next_values), axis=0
+                            values, next_values = jnp.split(all_q, 2, axis=1)
+                            q_next = jax.lax.stop_gradient(next_values).mean(
+                                axis=0
                             )
-                            targets_ = (
-                                traj_batch.reward
-                                + (1 - traj_batch.done) * config["GAMMA"] * q_next
+                            tgt = (
+                                minibatch.reward
+                                + (1 - minibatch.done) * config["GAMMA"] * q_next
                             )
 
-                        tgt = targets if config.get("USE_QLAMBDA", True) else targets_
-                        value_losses = jax.vmap(smooth_l1_loss, in_axes=(0, None))(
+                        per_member = jax.vmap(smooth_l1_loss, in_axes=(0, None))(
                             values, jax.lax.stop_gradient(tgt)
                         )
-                        loss = jnp.sum(jax.vmap(jnp.mean)(value_losses))
-                        loss_infos = {"value_loss": value_losses.mean()}
-                        return loss, (updates, loss_infos)
+                        loss = jnp.sum(jax.vmap(jnp.mean)(per_member))
+                        return loss, (updates, {"value_loss": per_member.mean()})
 
-                    def _actor_loss_fn(actor_params, traj_batch):
+                    def _actor_loss_fn(actor_params):
                         action, updates = actor.apply(
                             {
                                 "params": actor_params,
                                 "batch_stats": train_state["actor"].batch_stats,
                             },
-                            traj_batch.obs,
+                            minibatch.obs,
                             train=True,
                             mutable=["batch_stats"],
                         )
+                        q = ensemble_values(
+                            train_state, minibatch.obs, action
+                        ).mean(axis=0)
 
-                        def single_value(action, params, batch_stats):
-                            return critic.apply(
-                                {"params": params, "batch_stats": batch_stats},
-                                traj_batch.obs,
-                                action,
-                                train=False,
-                            )
-
-                        values = jax.vmap(single_value, in_axes=(None, 0, 0))(
-                            action,
-                            train_state["critic"].params,
-                            train_state["critic"].batch_stats,
-                        )
-                        rl_loss = jnp.mean(values, axis=0)
-
-                        action_diff = (
-                            action - traj_batch.original_action - action_bias
-                        ) / action_scale
-                        action_diff = jnp.abs(action_diff).mean(axis=-1)
-                        pen_loss = smooth_l1_loss(
-                            action, traj_batch.original_action
+                        # trust-region-flavored penalty: free inside
+                        # THRESHOLD of the behavior action (in normalized
+                        # units), smooth-L1 beyond it
+                        norm_diff = jnp.abs(
+                            (action - minibatch.original_action - action_bias)
+                            / action_scale
+                        ).mean(axis=-1)
+                        pen = smooth_l1_loss(
+                            action, minibatch.original_action
                         ).mean(axis=-1)
                         penalty = jnp.where(
-                            action_diff < config["THRESHOLD"],
+                            norm_diff < config["THRESHOLD"],
                             0.0,
-                            config["PENALTY_COEFF"] * pen_loss,
+                            config["PENALTY_COEFF"] * pen,
                         )
-                        actor_loss = jnp.mean(-rl_loss + penalty)
-                        loss_infos = {
-                            "policy_loss": rl_loss.mean(),
-                            "actor_penalty_loss": pen_loss.mean(),
-                        }
-                        return actor_loss, (updates, loss_infos)
+                        loss = jnp.mean(-q + penalty)
+                        return loss, (
+                            updates,
+                            {
+                                "policy_loss": q.mean(),
+                                "actor_penalty_loss": pen.mean(),
+                            },
+                        )
 
-                    critic_grad_fn = jax.value_and_grad(
-                        _critic_loss_fn, has_aux=True
-                    )
                     (
                         critic_loss,
                         (critic_bs_update, critic_loss_infos),
-                    ), critic_grads = critic_grad_fn(
-                        train_state["critic"].params, traj_batch, targets
-                    )
+                    ), critic_grads = jax.value_and_grad(
+                        _critic_loss_fn, has_aux=True
+                    )(train_state["critic"].params)
                     if pmap_axis is not None:
                         critic_grads = jax.lax.pmean(critic_grads, pmap_axis)
                     train_state_critic = train_state["critic"].apply_gradients(
@@ -386,13 +365,12 @@ def make_train(
                         batch_stats=critic_bs_update["batch_stats"],
                     )
 
-                    actor_grad_fn = jax.value_and_grad(_actor_loss_fn, has_aux=True)
                     (
                         actor_loss,
                         (actor_bs_update, actor_loss_infos),
-                    ), actor_grads = actor_grad_fn(
-                        train_state["actor"].params, traj_batch
-                    )
+                    ), actor_grads = jax.value_and_grad(
+                        _actor_loss_fn, has_aux=True
+                    )(train_state["actor"].params)
                     if pmap_axis is not None:
                         actor_grads = jax.lax.pmean(actor_grads, pmap_axis)
                     train_state_actor = train_state["actor"].apply_gradients(
@@ -410,34 +388,35 @@ def make_train(
                     loss_infos = {**critic_loss_infos, **actor_loss_infos}
                     return train_state, (critic_loss, actor_loss, loss_infos)
 
-                train_state, traj_batch, targets, rng = update_state
+                train_state, rng = carry
+
+                def preprocess_transition(x, rng):
+                    # (T, E, ...) -> shared-key shuffle -> minibatches,
+                    # identical machinery to the discrete trainers
+                    x = x.reshape(-1, *x.shape[2:])
+                    x = jax.random.permutation(rng, x)
+                    return x.reshape(
+                        config["NUM_MINIBATCHES"], -1, *x.shape[1:]
+                    )
+
                 rng, _rng = jax.random.split(rng)
-                batch_size = config["MINIBATCH_SIZE"] * config["NUM_MINIBATCHES"]
-                permutation = jax.random.permutation(_rng, batch_size)
-                batch = (traj_batch, targets)
-                batch = jax.tree_util.tree_map(
-                    lambda x: x.reshape((batch_size,) + x.shape[2:]), batch
-                )
-                shuffled = jax.tree_util.tree_map(
-                    lambda x: jnp.take(x, permutation, axis=0), batch
-                )
                 minibatches = jax.tree_util.tree_map(
-                    lambda x: jnp.reshape(
-                        x, [config["NUM_MINIBATCHES"], -1] + list(x.shape[1:])
-                    ),
-                    shuffled,
+                    lambda x: preprocess_transition(x, _rng), traj_batch
+                )
+                mb_targets = jax.tree_util.tree_map(
+                    lambda x: preprocess_transition(x, _rng), targets
                 )
                 train_state, loss_info = jax.lax.scan(
-                    _update_minbatch, train_state, minibatches
+                    _learn_phase, train_state, (minibatches, mb_targets)
                 )
-                return (train_state, traj_batch, targets, rng), loss_info
+                return (train_state, rng), loss_info
 
-            update_state = (train_state, traj_batch, targets, rng)
-            update_state, (critic_loss, actor_loss, loss_infos) = jax.lax.scan(
-                _update_epoch, update_state, None, config["NUM_EPOCHS"]
+            (train_state, rng), (critic_loss, actor_loss, loss_infos) = (
+                jax.lax.scan(
+                    _learn_epoch, (train_state, rng), None,
+                    config["NUM_EPOCHS"],
+                )
             )
-            train_state = update_state[0]
-            rng = update_state[-1]
 
             train_state["actor"] = train_state["actor"].replace(
                 timesteps=(train_state["actor"].n_updates + 1)

@@ -67,9 +67,14 @@ def single_run(config):
     t0 = time.time()
     outs = train_vjit(rngs)
     # Force completion by materializing a scalar (block_until_ready is
-    # unreliable on tunneled backends).
+    # unreliable on tunneled backends). The AC family carries a dict of
+    # train states ({"actor", "critic"}); counters live on the actor.
+    model_state = outs["runner_state"][0]
+    counter_state = (
+        model_state["actor"] if isinstance(model_state, dict) else model_state
+    )
     final_steps = np.asarray(
-        jax.tree_util.tree_leaves(outs["runner_state"][0].timesteps)[0]
+        jax.tree_util.tree_leaves(counter_state.timesteps)[0]
     )
     dt = time.time() - t0
     total = int(final_steps.max()) * config["NUM_SEEDS"]
@@ -86,7 +91,12 @@ def single_run(config):
     if config.get("SAVE_PATH"):
         save_dir = os.path.join(config["SAVE_PATH"], env_name)
         run_name = f"{alg_name}_{env_name}_seed{config['SEED']}"
-        save_run(outs["runner_state"][0].params, config, save_dir, run_name)
+        params = (
+            {k: v.params for k, v in model_state.items()}
+            if isinstance(model_state, dict)
+            else model_state.params
+        )
+        save_run(params, config, save_dir, run_name)
         print(f"Saved params to {save_dir}/")
     return outs
 

@@ -7,13 +7,16 @@ from purejaxql_tpu.envs.marl.base import (
 )
 from purejaxql_tpu.envs.marl.spread import Spread
 from purejaxql_tpu.envs.marl.skirmish import Skirmish
+from purejaxql_tpu.envs.marl.kitchen import Kitchen
 
 _MARL_REGISTRY = {
     "Spread-v0": Spread,
     "simple_spread": Spread,
     "Skirmish-v0": Skirmish,
-    # compatibility alias for reference-style configs
+    "Kitchen-v0": Kitchen,
+    # compatibility aliases for reference-style configs
     "HeuristicEnemySMAX": Skirmish,
+    "overcooked": Kitchen,
 }
 
 

@@ -31,6 +31,11 @@ def _populate():
     from purejaxql_tpu.envs.classic.pendulum import Pendulum
     from purejaxql_tpu.envs.classic.memory_chain import MemoryChain
     from purejaxql_tpu.envs.classic.reacher import Reacher
+    from purejaxql_tpu.envs.classic.mountain_car_continuous import (
+        MountainCarContinuous,
+    )
+    from purejaxql_tpu.envs.classic.cartpole_swingup import CartPoleSwingUp
+    from purejaxql_tpu.envs.classic.hopper import Hopper
 
     _REGISTRY["CartPole-v1"] = CartPole
     _REGISTRY["Acrobot-v1"] = Acrobot
@@ -38,6 +43,9 @@ def _populate():
     _REGISTRY["Pendulum-v1"] = Pendulum
     _REGISTRY["MemoryChain-bsuite"] = MemoryChain
     _REGISTRY["Reacher-v0"] = Reacher
+    _REGISTRY["MountainCarContinuous-v0"] = MountainCarContinuous
+    _REGISTRY["CartPoleSwingUp-v0"] = CartPoleSwingUp
+    _REGISTRY["Hopper-v0"] = Hopper
 
     try:
         from purejaxql_tpu.envs.minatar import (

@@ -1,0 +1,139 @@
+"""New continuous-control envs: dynamics sanity + AC-PQN training smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from purejaxql_tpu.core.config import compose
+from purejaxql_tpu.envs import make
+from purejaxql_tpu.algo.pqn_ac import make_train
+
+
+def rollout(env_name, policy, steps=200, seed=0, **env_kwargs):
+    env, params = make(env_name, **env_kwargs)
+    obs, state = env.reset(jax.random.PRNGKey(seed), params)
+    total, dones = 0.0, 0
+    for t in range(steps):
+        a = policy(t, obs)
+        obs, state, r, d, _ = env.step(
+            jax.random.PRNGKey(t), state, jnp.asarray(a), params
+        )
+        total += float(r)
+        dones += int(d)
+    return total, dones, state
+
+
+def test_mountain_car_continuous_bang_bang_solves():
+    """The classic energy-pumping policy (push along velocity) solves it."""
+    env, params = make("MountainCarContinuous-v0")
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    solved = False
+    for t in range(400):
+        a = jnp.asarray([jnp.sign(state.velocity) * 1.0])
+        obs, state, r, d, _ = env.step(jax.random.PRNGKey(t), state, a, params)
+        if float(r) > 50:
+            solved = True
+            break
+    assert solved
+
+
+def test_swingup_starts_down_rewards_up():
+    env, params = make("CartPoleSwingUp-v0")
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    # hanging down: cos(theta) ~ -1, reward near 0
+    assert float(obs[2]) < -0.9
+    obs, state, r, d, _ = env.step(
+        jax.random.PRNGKey(1), state, jnp.asarray([0.0]), params
+    )
+    assert 0.0 <= float(r) < 0.2
+    # force the pole upright by hand and check the bonus is near max
+    up = state.replace(theta=jnp.asarray(0.0), x=jnp.asarray(0.0))
+    obs2, _, r2, _, _ = env.step(
+        jax.random.PRNGKey(2), up, jnp.asarray([0.0]), params
+    )
+    assert float(r2) > 0.9
+
+
+def test_hopper_thrust_sustains_and_angle_steers():
+    """Leg thrust is what keeps the hopper alive (damping bleeds passive
+    energy), and the touchdown angle steers horizontal motion with
+    Raibert semantics (foot planted forward decelerates, backward
+    accelerates)."""
+    env, params = make("Hopper-v0")
+
+    def sim(a0, a1, steps=300):
+        obs, state = env.reset(jax.random.PRNGKey(3), params)
+        resets = 0
+        for t in range(steps):
+            obs, state, r, d, _ = env.step(
+                jax.random.PRNGKey(t), state, jnp.asarray([a0, a1]), params
+            )
+            resets += int(bool(d))
+        return resets, float(state.x)
+
+    passive_resets, _ = sim(0.0, 0.0)
+    thrust_resets, _ = sim(0.0, 0.9)
+    assert passive_resets > thrust_resets, (passive_resets, thrust_resets)
+    assert thrust_resets == 0
+
+    _, x_fwd_foot = sim(0.3, 0.6)
+    _, x_back_foot = sim(-0.3, 0.6)
+    assert x_back_foot > 5.0, x_back_foot
+    assert x_fwd_foot < -5.0, x_fwd_foot
+
+
+def test_hopper_phase_transitions():
+    env, params = make("Hopper-v0")
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    phases = set()
+    for t in range(120):
+        obs, state, r, d, _ = env.step(
+            jax.random.PRNGKey(t), state, jnp.asarray([0.0, 0.5]), params
+        )
+        phases.add(bool(state.stance))
+    assert phases == {True, False}  # both flight and stance occurred
+
+
+@pytest.mark.parametrize(
+    "alg,env_name",
+    [
+        ("pqn_dm_suite", "CartPoleSwingUp-v0"),
+        ("pqn_dm_suite", "MountainCarContinuous-v0"),
+        ("pqn_locomotion", "Hopper-v0"),
+    ],
+)
+def test_ac_trains_on_new_envs(alg, env_name):
+    config = compose(
+        alg=alg,
+        overrides=[
+            f"ENV_NAME={env_name}",
+            "TOTAL_TIMESTEPS=8192", "NUM_ENVS=16", "NUM_STEPS=16",
+            "NUM_MINIBATCHES=2", "NUM_EPOCHS=1",
+            "ACTOR_HIDDEN_SIZES=[32,32]", "CRITIC_HIDDEN_SIZES=[32,32]",
+            "TEST_DURING_TRAINING=False", "TEST_NUM_ENVS=8",
+        ],
+    )
+    outs = jax.block_until_ready(
+        jax.jit(jax.vmap(make_train(config)))(
+            jax.random.split(jax.random.PRNGKey(0), 1)
+        )
+    )
+    assert np.isfinite(np.asarray(outs["metrics"]["value_loss"])).all()
+
+
+@pytest.mark.slow
+def test_ac_learns_swingup():
+    """Learning evidence: swing-up returns improve well above the hanging
+    baseline within 1M steps."""
+    config = compose(
+        alg="pqn_dm_suite",
+        overrides=["TOTAL_TIMESTEPS=1000000", "NUM_ENVS=64", "TEST_NUM_ENVS=32"],
+    )
+    outs = jax.block_until_ready(
+        jax.jit(jax.vmap(make_train(config)))(
+            jax.random.split(jax.random.PRNGKey(0), 1)
+        )
+    )
+    rets = np.asarray(outs["metrics"]["test/returned_episode_returns"][0])
+    assert rets[-5:].mean() > 100, rets[-10:]  # hanging ~0-30, upright ~500
