@@ -89,6 +89,64 @@ def make_train_spmd(
     return jax.jit(spmd)
 
 
+def make_train_spmd_seeds(
+    config: Dict[str, Any],
+    mesh: Mesh,
+    seed_axis: str = "seed",
+    env_axis: str = "env",
+    logger: Optional[MetricLogger] = None,
+    make_train: Callable = pqn.make_train,
+) -> Callable:
+    """Two-axis SPMD: independent seeds along `seed_axis`, env-sharded
+    data parallelism along `env_axis` — the full (seed, env) mesh from
+    parallel/mesh.py actually wired up.
+
+    Each seed row is an isolated experiment (its rng is the caller's rng
+    folded with the seed index; NO collective crosses the seed axis);
+    within a row, envs shard over `env_axis` with gradient/batch-stat
+    pmean exactly like `make_train_spmd`. Returns
+    ``{"train_state", "metrics"}`` with a leading per-seed axis — the
+    multi-chip analogue of the reference's ``jit(vmap(train))`` seed
+    harness (pqn_gymnax.py:451).
+    """
+    n_env = mesh.shape[env_axis]
+    n_seed = mesh.shape[seed_axis]
+    assert config["NUM_ENVS"] % n_env == 0
+    local = dict(config)
+    local["NUM_ENVS"] = config["NUM_ENVS"] // n_env
+    if "TEST_NUM_ENVS" in config:
+        local["TEST_NUM_ENVS"] = max(config["TEST_NUM_ENVS"] // n_env, 1)
+    local["TOTAL_TIMESTEPS"] = int(float(config["TOTAL_TIMESTEPS"])) // n_env
+    local["TOTAL_TIMESTEPS_DECAY"] = (
+        int(float(config.get("TOTAL_TIMESTEPS_DECAY", config["TOTAL_TIMESTEPS"])))
+        // n_env
+    )
+    local["TIMESTEP_SCALE"] = n_env
+
+    train = make_train(local, logger=logger, pmap_axis=env_axis)
+
+    def shard_body(rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(seed_axis))
+        out = train(rng)
+        train_state = out["runner_state"][0]
+        # add the per-seed leading axis the out_specs concatenate over
+        expand = lambda t: jax.tree_util.tree_map(lambda x: x[None], t)
+        return {
+            "train_state": expand(train_state),
+            "metrics": expand(out["metrics"]),
+        }
+
+    spmd = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs={"train_state": P(seed_axis), "metrics": P(seed_axis)},
+        check_vma=False,
+    )
+    del n_seed
+    return jax.jit(spmd)
+
+
 def make_train_spmd_resumable(
     config: Dict[str, Any],
     mesh: Mesh,

@@ -107,3 +107,24 @@ def test_spmd_segmented_bitwise_equals_fused():
     assert (
         seg["metrics"]["td_loss"].shape == fused["metrics"]["td_loss"].shape
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spmd_seed_axis():
+    """The (seed, env) mesh trains independent seeds along the seed axis
+    while sharding envs within each seed row — 2 seeds x 4 env shards on
+    8 devices, distinct trained params per seed, correct global counters."""
+    from purejaxql_tpu.parallel.spmd import make_train_spmd_seeds
+
+    config = spmd_config()
+    mesh = make_mesh(env=4, seed=2)
+    out = jax.block_until_ready(
+        make_train_spmd_seeds(config, mesh)(jax.random.PRNGKey(0))
+    )
+    kernel = out["train_state"].params["Dense_0"]["kernel"]
+    assert kernel.shape[0] == 2  # per-seed leading axis
+    a, b = np.asarray(kernel[0]), np.asarray(kernel[1])
+    assert not np.array_equal(a, b)  # seeds are independent experiments
+    ts = np.asarray(out["train_state"].timesteps)
+    assert (ts == int(float(config["TOTAL_TIMESTEPS"]))).all()
+    assert np.isfinite(np.asarray(out["metrics"]["td_loss"])).all()
