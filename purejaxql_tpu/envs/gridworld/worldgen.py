@@ -129,12 +129,17 @@ def generate_world(key: jax.Array) -> jax.Array:
     # two ladders at random interior cells; surface gets LADDER_DOWN on a
     # carved tile, cave gets LADDER_UP with a 3x3 cleared pocket
     lpos = jax.random.randint(k_ladder, (2, 2), 6, WORLD_SIZE - 6)
+    yy = jnp.arange(WORLD_SIZE)
     for i in range(2):
         ly, lx = lpos[i, 0], lpos[i, 1]
         blocks = blocks.at[ly, lx].set(LADDER_DOWN)
-        cave = jax.lax.dynamic_update_slice(
-            cave, jnp.full((3, 3), PATH, jnp.int8), (ly - 1, lx - 1)
+        # masked 3x3 pocket carve: a traced-index dynamic_update_slice
+        # serializes under vmap on TPU (the reset pool runs this
+        # num_envs/reset_ratio times per step)
+        pocket = (jnp.abs(yy[:, None] - ly) <= 1) & (
+            jnp.abs(yy[None, :] - lx) <= 1
         )
+        cave = jnp.where(pocket, jnp.int8(PATH), cave)
         cave = cave.at[ly, lx].set(LADDER_UP)
 
     world = jnp.stack([blocks, cave]).astype(jnp.int8)
