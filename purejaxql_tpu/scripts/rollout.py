@@ -5,10 +5,13 @@ The framework's counterpart of the reference's render script
 (/root/reference/scripts/mujoco_playground_render.py): loads
 safetensors + config saved by the CLI, reconstructs the network, runs
 greedy episodes under jit, and (optionally) saves the trajectory as .npz
-and renders gridworld/MinAtar frames as ASCII.
+and renders gridworld/MinAtar frames as ASCII or an animated GIF (the
+dependency-free analogue of the reference's MP4 output).
 
     python -m purejaxql_tpu.scripts.rollout \
         --run-dir models/CartPole-v1 --episodes 8 --save-traj /tmp/traj.npz
+    python -m purejaxql_tpu.scripts.rollout \
+        --run-dir models/Breakout-MinAtar --gif /tmp/breakout.gif
 """
 
 from __future__ import annotations
@@ -112,6 +115,12 @@ def main(argv=None):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--save-traj", default=None)
     p.add_argument("--ascii", action="store_true", help="print first-episode frames")
+    p.add_argument(
+        "--gif",
+        default=None,
+        help="write the first episode as an animated GIF (grid-obs envs only)",
+    )
+    p.add_argument("--gif-scale", type=int, default=8, help="pixels per grid cell")
     args = p.parse_args(argv)
 
     config_path, params_path = find_run_files(args.run_dir)
@@ -155,6 +164,23 @@ def main(argv=None):
             if frame.ndim == 3:
                 print(f"--- t={t}")
                 print(ascii_render_minatar(frame))
+
+    if args.gif:
+        obs = trajs[0][0]  # first episode, (T, ...) obs
+        if obs.ndim != 4:
+            raise SystemExit(
+                "--gif needs (T, H, W, C) grid observations; "
+                f"got trajectory obs of shape {obs.shape}. "
+                "Train a gridworld/MinAtar checkpoint, or use --save-traj."
+            )
+        # stop at the first episode boundary so the GIF is one episode
+        ep_len = int(lens[0]) if lens[0] > 0 else obs.shape[0]
+        from purejaxql_tpu.utils.gif import render_grid_episode_gif
+
+        render_grid_episode_gif(
+            args.gif, obs[: max(ep_len, 1)], scale=args.gif_scale
+        )
+        print(f"gif saved to {args.gif} ({max(ep_len, 1)} frames)")
     return 0
 
 
