@@ -8,15 +8,18 @@ from purejaxql_tpu.envs.marl.base import (
 from purejaxql_tpu.envs.marl.spread import Spread
 from purejaxql_tpu.envs.marl.skirmish import Skirmish
 from purejaxql_tpu.envs.marl.kitchen import Kitchen
+from purejaxql_tpu.envs.marl.hanabi import MiniHanabi
 
 _MARL_REGISTRY = {
     "Spread-v0": Spread,
     "simple_spread": Spread,
     "Skirmish-v0": Skirmish,
     "Kitchen-v0": Kitchen,
+    "MiniHanabi-v0": MiniHanabi,
     # compatibility aliases for reference-style configs
     "HeuristicEnemySMAX": Skirmish,
     "overcooked": Kitchen,
+    "hanabi": MiniHanabi,
 }
 
 
