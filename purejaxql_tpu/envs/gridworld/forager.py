@@ -7,14 +7,15 @@ the reference trains on (`ENV_NAME: Craftax-Symbolic-v1`,
 generated worlds (expensive resets -> pairs with OptimisticResetVecEnv),
 resource gathering gated by tool tiers, crafting at stations, hunger /
 thirst / energy / health survival dynamics, day-night cycles with hostile
-mobs, a cave level (craftax-style vertical depth: ladder pairs connect
-the surface to stone passages with richer ore veins and lava hazards),
-and a 23-achievement reward structure (+1 on each first-time achievement
-per episode, +-0.1 per health point gained/lost).
+mobs, a multi-floor dungeon (craftax-style vertical depth: aligned ladder
+pairs descend surface -> cave -> deep, each floor with richer ore veins,
+more lava, and more skeletons than the one above; ruby spawns only on the
+deep floor), and a 25-achievement reward structure (+1 on each first-time
+achievement per episode, +-0.1 per health point gained/lost).
 
 Observations are symbolic (craftax-symbolic-style): a flattened float32
 vector of a 9x9 one-hot local block/mob view plus inventory, needs,
-facing, time-of-day and sleep state — 1400 dims. 17 discrete actions
+facing, time-of-day and sleep state. 17 discrete actions
 (noop, 4 moves, do, sleep, 4 places, 6 crafts).
 
 Everything is branchless jnp.where logic over static-shape arrays: the
@@ -34,7 +35,7 @@ from purejaxql_tpu.envs.gridworld import worldgen as W
 
 N_COWS = 8
 N_ZOMBIES = 8
-N_SKELETONS = 4
+N_SKELETONS = 8  # haunt the cave and deep floors (level per skeleton)
 
 ACHIEVEMENTS = [
     "collect_wood", "place_table", "eat_cow", "collect_sapling",
@@ -43,6 +44,7 @@ ACHIEVEMENTS = [
     "defeat_skeleton", "collect_coal", "make_stone_pickaxe",
     "make_stone_sword", "wake_up", "place_furnace", "collect_iron",
     "make_iron_pickaxe", "make_iron_sword", "collect_diamond", "enter_cave",
+    "enter_deep", "collect_ruby",
 ]
 NUM_ACHIEVEMENTS = len(ACHIEVEMENTS)
 _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
@@ -51,9 +53,9 @@ _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
 INV = {
     "wood": 0, "stone": 1, "coal": 2, "iron": 3, "diamond": 4, "sapling": 5,
     "wood_pickaxe": 6, "stone_pickaxe": 7, "iron_pickaxe": 8,
-    "wood_sword": 9, "stone_sword": 10, "iron_sword": 11,
+    "wood_sword": 9, "stone_sword": 10, "iron_sword": 11, "ruby": 12,
 }
-NUM_INV = 12
+NUM_INV = 13
 
 # actions
 A_NOOP, A_LEFT, A_RIGHT, A_UP, A_DOWN, A_DO, A_SLEEP = range(7)
@@ -77,11 +79,11 @@ OBS_DIM = VIEW * VIEW * (W.NUM_BLOCK_TYPES + 3) + NUM_INV + 4 + 4 + 2 + 1 + 1
 
 @struct.dataclass
 class ForagerState:
-    blocks: jax.Array          # (2, 56, 56) int8: [surface, cave], padded
+    blocks: jax.Array          # (3, 56, 56) int8: [surface, cave, deep]
     growth: jax.Array          # (56, 56) int8 sapling growth timers
                                # (surface only: saplings need grass)
     pos: jax.Array             # (2,) int32 (y, x) in padded coords
-    level: jax.Array           # int32: 0 surface, 1 cave
+    level: jax.Array           # int32: 0 surface, 1 cave, 2 deep
     facing: jax.Array          # int32 0..3
     health: jax.Array
     food: jax.Array
@@ -93,8 +95,8 @@ class ForagerState:
     decay_tick: jax.Array
     regen_tick: jax.Array
     sleeping: jax.Array
-    inventory: jax.Array       # (12,) int32
-    achievements: jax.Array    # (22,) bool
+    inventory: jax.Array       # (NUM_INV,) int32
+    achievements: jax.Array    # (NUM_ACHIEVEMENTS,) bool
     cow_pos: jax.Array         # (N_COWS, 2)
     cow_alive: jax.Array
     cow_health: jax.Array
@@ -103,6 +105,7 @@ class ForagerState:
     zombie_alive: jax.Array
     zombie_health: jax.Array
     skel_pos: jax.Array
+    skel_level: jax.Array      # (N,) which dungeon floor each skeleton is on
     skel_alive: jax.Array
     skel_health: jax.Array
     time: jax.Array
@@ -146,8 +149,14 @@ class Forager(Environment):
         skel_pos = jax.random.randint(
             k_skel, (N_SKELETONS, 2), W.PAD + 2, W.PAD + W.WORLD_SIZE - 2
         )
-        # skeletons haunt the cave passages
-        on_open_cave = blocks[W.CAVE, skel_pos[:, 0], skel_pos[:, 1]] == W.PATH
+        # skeletons haunt the dungeon passages: half on the cave floor,
+        # half on the deep floor (deep is denser per open tile)
+        skel_level = jnp.where(
+            jnp.arange(N_SKELETONS) % 2 == 0, W.CAVE, W.DEEP
+        ).astype(jnp.int32)
+        on_open_floor = (
+            blocks[skel_level, skel_pos[:, 0], skel_pos[:, 1]] == W.PATH
+        )
 
         state = ForagerState(
             blocks=blocks,
@@ -175,7 +184,8 @@ class Forager(Environment):
             zombie_alive=jnp.zeros(N_ZOMBIES, bool),
             zombie_health=jnp.full(N_ZOMBIES, 5, jnp.int32),
             skel_pos=skel_pos.astype(jnp.int32),
-            skel_alive=on_open_cave,
+            skel_level=skel_level,
+            skel_alive=on_open_floor,
             skel_health=jnp.full(N_SKELETONS, 3, jnp.int32),
             time=jnp.asarray(0, jnp.int32),
             terminal=jnp.asarray(False),
@@ -222,7 +232,9 @@ class Forager(Environment):
         zom_here = at_tgt(state.zombie_pos, state.zombie_alive) & (
             state.zombie_level == lvl
         )
-        skel_here = at_tgt(state.skel_pos, state.skel_alive) & (lvl == W.CAVE)
+        skel_here = at_tgt(state.skel_pos, state.skel_alive) & (
+            state.skel_level == lvl
+        )
         any_mob = cow_here.any() | zom_here.any() | skel_here.any()
 
         # ---- DO action ----------------------------------------------
@@ -271,11 +283,17 @@ class Forager(Environment):
         got_coal = do_block & (tblock == W.COAL) & has_wp
         got_iron = do_block & (tblock == W.IRON) & has_sp
         got_diamond = do_block & (tblock == W.DIAMOND) & has_ip
+        got_ruby = do_block & (tblock == W.RUBY) & has_ip
         ate_plant = do_block & (tblock == W.PLANT_RIPE)
         went_down = do_block & (tblock == W.LADDER_DOWN)
         went_up = do_block & (tblock == W.LADDER_UP)
-        lvl = jnp.where(went_down, W.CAVE, jnp.where(went_up, W.SURFACE, lvl))
-        ach = ach.at[_ACH["enter_cave"]].set(ach[_ACH["enter_cave"]] | went_down)
+        lvl = jnp.where(went_down, lvl + 1, jnp.where(went_up, lvl - 1, lvl))
+        ach = ach.at[_ACH["enter_cave"]].set(
+            ach[_ACH["enter_cave"]] | (went_down & (state.level == W.SURFACE))
+        )
+        ach = ach.at[_ACH["enter_deep"]].set(
+            ach[_ACH["enter_deep"]] | (went_down & (state.level == W.CAVE))
+        )
 
         inv = collect(got_wood, "wood")
         inv = collect(got_sapling, "sapling")
@@ -283,16 +301,18 @@ class Forager(Environment):
         inv = collect(got_coal, "coal")
         inv = collect(got_iron, "iron")
         inv = collect(got_diamond, "diamond")
+        inv = collect(got_ruby, "ruby")
         drink = jnp.where(got_drink, jnp.minimum(state.drink + 3, 9), state.drink)
         food = jnp.where(ate_plant, jnp.minimum(food + 4, 9), food)
 
-        mined = got_stone | got_coal | got_iron | got_diamond
+        mined = got_stone | got_coal | got_iron | got_diamond | got_ruby
 
         for cond, name in [
             (got_wood, "collect_wood"), (got_drink, "collect_drink"),
             (got_sapling, "collect_sapling"), (got_stone, "collect_stone"),
             (got_coal, "collect_coal"), (got_iron, "collect_iron"),
-            (got_diamond, "collect_diamond"), (ate_plant, "eat_plant"),
+            (got_diamond, "collect_diamond"), (got_ruby, "collect_ruby"),
+            (ate_plant, "eat_plant"),
         ]:
             ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | cond)
 
@@ -442,7 +462,7 @@ class Forager(Environment):
         far_enough = jnp.abs(spawn_offsets).sum(axis=1) >= 5
         spawn_pos = jnp.clip(pos + spawn_offsets, W.PAD, W.PAD + W.WORLD_SIZE - 1)
         spawn_ok = (
-            (is_night | (lvl == W.CAVE))  # the cave is always dangerous
+            (is_night | (lvl != W.SURFACE))  # the dungeon is always dangerous
             & ~zombie_alive
             & far_enough
             & (jax.random.uniform(zk2, (N_ZOMBIES,)) < 0.05)
@@ -452,9 +472,9 @@ class Forager(Environment):
         zombie_level = jnp.where(spawn_ok, lvl, state.zombie_level)
         zombie_alive = zombie_alive | spawn_ok
         zombie_health = jnp.where(spawn_ok, 5, zombie_health)
-        # surface zombies despawn at dawn; cave zombies persist
+        # surface zombies despawn at dawn; dungeon zombies persist
         zombie_alive = jnp.logical_and(
-            zombie_alive, is_night | (zombie_level == W.CAVE)
+            zombie_alive, is_night | (zombie_level != W.SURFACE)
         )
 
         # zombies chase
@@ -475,7 +495,9 @@ class Forager(Environment):
         )
         zombie_pos = jnp.where(zok[:, None], zcand, zombie_pos)
 
-        skel_pos = random_walk(k_skel, state.skel_pos, skel_alive, 0.2, W.CAVE)
+        skel_pos = random_walk(
+            k_skel, state.skel_pos, skel_alive, 0.2, state.skel_level
+        )
 
         # mob melee damage (adjacent, every other step; worse when asleep)
         def adjacent(mob_pos, alive):
@@ -485,9 +507,9 @@ class Forager(Environment):
         z_adj = adjacent(
             zombie_pos, zombie_alive & (zombie_level == lvl)
         ).any()
-        s_adj = jnp.logical_and(
-            adjacent(skel_pos, skel_alive).any(), lvl == W.CAVE
-        )
+        s_adj = adjacent(
+            skel_pos, skel_alive & (state.skel_level == lvl)
+        ).any()
         dmg = jnp.where(
             (z_adj | s_adj) & (t % 2 == 0),
             jnp.where(sleeping, 2, 1),
@@ -512,7 +534,8 @@ class Forager(Environment):
             cow_pos=cow_pos, cow_alive=cow_alive, cow_health=cow_health,
             zombie_pos=zombie_pos, zombie_level=zombie_level,
             zombie_alive=zombie_alive, zombie_health=zombie_health,
-            skel_pos=skel_pos, skel_alive=skel_alive, skel_health=skel_health,
+            skel_pos=skel_pos, skel_level=state.skel_level,
+            skel_alive=skel_alive, skel_health=skel_health,
             time=t, terminal=terminal,
         )
         done = self.is_terminal(new_state, params)
@@ -571,7 +594,7 @@ class Forager(Environment):
                 ),
                 mob_channel(
                     state.skel_pos,
-                    state.skel_alive & (state.level == W.CAVE),
+                    state.skel_alive & (state.skel_level == state.level),
                 ),
             ],
             axis=-1,
@@ -598,7 +621,7 @@ class Forager(Environment):
                     ]
                 ),
                 state.sleeping.astype(jnp.float32)[None],
-                state.level.astype(jnp.float32)[None],
+                state.level.astype(jnp.float32)[None] / (W.NUM_LEVELS - 1),
             ]
         )
         return jnp.concatenate([grid, extras]).astype(jnp.float32)

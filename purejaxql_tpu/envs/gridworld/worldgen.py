@@ -31,12 +31,14 @@ PLANT_RIPE = 13
 LADDER_DOWN = 14
 LADDER_UP = 15
 LAVA = 16
-NUM_BLOCK_TYPES = 17
+RUBY = 17
+NUM_BLOCK_TYPES = 18
 
 # map levels (craftax-style vertical depth)
 SURFACE = 0
 CAVE = 1
-NUM_LEVELS = 2
+DEEP = 2
+NUM_LEVELS = 3
 
 WORLD_SIZE = 48
 # The env stores the map PRE-PADDED with an INVALID border of PAD cells:
@@ -72,11 +74,14 @@ def _value_noise(key: jax.Array, size: int, res: int) -> jax.Array:
 def generate_world(key: jax.Array) -> jax.Array:
     """Generate a (NUM_LEVELS, PADDED_SIZE, PADDED_SIZE) int8 block map
     (INVALID border of PAD): a surface level — water/sand/grass plains
-    with forests and a stony highland seamed with ores — and a CAVE level
+    with forests and a stony highland seamed with ores — a CAVE level
     (craftax-style depth) of stone passages with much richer ore veins and
-    lava hazards, connected by aligned ladder pairs. int8 storage quarters
-    HBM traffic for the scatter-heavy step function."""
-    key, k_cave, k_ladder = jax.random.split(key, 3)
+    lava hazards, and a DEEP level of tight corridors, heavy lava, and the
+    richest diamond/ruby veins (ruby spawns nowhere else). Aligned ladder
+    pairs connect surface<->cave and cave<->deep (craftax's multi-floor
+    dungeon descent). int8 storage quarters HBM traffic for the
+    scatter-heavy step function."""
+    key, k_cave, k_deep, k_ladder, k_ladder2 = jax.random.split(key, 5)
     k_elev, k_detail, k_feat = jax.random.split(key, 3)
 
     elev = _value_noise(k_elev, WORLD_SIZE, 6) + 0.5 * _value_noise(
@@ -125,24 +130,59 @@ def generate_world(key: jax.Array) -> jax.Array:
     cave = jnp.where(wall & (cfeat >= 0.15) & (cfeat < 0.27), IRON, cave)
     cave = jnp.where(wall & (cfeat >= 0.27) & (cfeat < 0.33), DIAMOND, cave)
 
+    # ---- deep level -----------------------------------------------------
+    # tighter corridors, more lava, no coal — but the richest diamond
+    # veins and the only ruby deposits
+    k_dnoise, k_dfeat = jax.random.split(k_deep)
+    dnoise = _value_noise(k_dnoise, WORLD_SIZE, 8)
+    deep = jnp.full((WORLD_SIZE, WORLD_SIZE), STONE, jnp.int8)
+    open_deep = dnoise > 0.05  # ~45% passages
+    deep = jnp.where(open_deep, PATH, deep)
+    deep = jnp.where(open_deep & (dnoise > 0.55), LAVA, deep)
+    dfeat = jax.random.uniform(k_dfeat, (WORLD_SIZE, WORLD_SIZE))
+    dwall = deep == STONE
+    deep = jnp.where(dwall & (dfeat < 0.18), IRON, deep)
+    deep = jnp.where(dwall & (dfeat >= 0.18) & (dfeat < 0.30), DIAMOND, deep)
+    deep = jnp.where(dwall & (dfeat >= 0.30) & (dfeat < 0.38), RUBY, deep)
+
     # ---- aligned ladder pairs ------------------------------------------
-    # two ladders at random interior cells; surface gets LADDER_DOWN on a
-    # carved tile, cave gets LADDER_UP with a 3x3 cleared pocket
-    lpos = jax.random.randint(k_ladder, (2, 2), 6, WORLD_SIZE - 6)
+    # two ladders per floor seam at random interior cells; the upper floor
+    # gets LADDER_DOWN on a carved tile, the lower floor LADDER_UP with a
+    # 3x3 cleared pocket (both sides carved so the seam is traversable)
+    # row bands keep the two seams' ladder cells disjoint (a shared cell
+    # would overwrite a cave LADDER_UP with a LADDER_DOWN)
+    lpos = jax.random.randint(
+        k_ladder, (2, 2), 6, WORLD_SIZE - 6
+    ).at[:, 0].set(jax.random.randint(k_ladder, (2,), 6, WORLD_SIZE // 2))
+    lpos2 = jax.random.randint(
+        k_ladder2, (2, 2), 6, WORLD_SIZE - 6
+    ).at[:, 0].set(
+        jax.random.randint(k_ladder2, (2,), WORLD_SIZE // 2, WORLD_SIZE - 6)
+    )
     yy = jnp.arange(WORLD_SIZE)
-    for i in range(2):
-        ly, lx = lpos[i, 0], lpos[i, 1]
-        blocks = blocks.at[ly, lx].set(LADDER_DOWN)
+
+    def _pocket(ly, lx):
         # masked 3x3 pocket carve: a traced-index dynamic_update_slice
         # serializes under vmap on TPU (the reset pool runs this
         # num_envs/reset_ratio times per step)
-        pocket = (jnp.abs(yy[:, None] - ly) <= 1) & (
+        return (jnp.abs(yy[:, None] - ly) <= 1) & (
             jnp.abs(yy[None, :] - lx) <= 1
         )
-        cave = jnp.where(pocket, jnp.int8(PATH), cave)
+
+    for i in range(2):
+        ly, lx = lpos[i, 0], lpos[i, 1]
+        blocks = blocks.at[ly, lx].set(LADDER_DOWN)
+        cave = jnp.where(_pocket(ly, lx), jnp.int8(PATH), cave)
         cave = cave.at[ly, lx].set(LADDER_UP)
 
-    world = jnp.stack([blocks, cave]).astype(jnp.int8)
+    for i in range(2):
+        ly, lx = lpos2[i, 0], lpos2[i, 1]
+        cave = jnp.where(_pocket(ly, lx), jnp.int8(PATH), cave)
+        cave = cave.at[ly, lx].set(LADDER_DOWN)
+        deep = jnp.where(_pocket(ly, lx), jnp.int8(PATH), deep)
+        deep = deep.at[ly, lx].set(LADDER_UP)
+
+    world = jnp.stack([blocks, cave, deep]).astype(jnp.int8)
     return jnp.pad(
         world, ((0, 0), (PAD, PAD), (PAD, PAD)), constant_values=INVALID
     )

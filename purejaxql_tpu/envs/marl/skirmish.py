@@ -4,18 +4,29 @@ N controlled allies fight M heuristic enemies on a continuous 2D field —
 the in-tree counterpart of the reference's SMAX benchmark family
 (`HeuristicEnemySMAX` on map "2s3z", /root/reference/purejaxql/config/alg/
 pqn_vdn_rnn_smax.yaml): UNIT TYPES (type 0 "ranged": long range, low
-damage, fragile, slow; type 1 "melee": short range, high damage, tanky,
-fast — the stalker/zealot split), per-unit movement, attacks with
-cooldowns, health, unit death, a scripted enemy (chase closest ally,
-attack in range), SMAC-style shaped team reward (normalized damage + kill
-+ win bonuses), and — crucially for the VDN engine — LEGAL-ACTION MASKS:
-the attack-enemy-j action is only available while enemy j is alive and in
-the attacker's type-dependent range, exercising the masked epsilon-greedy
-and masked-target paths end to end.
+damage, fragile, slow, SHIELDED; type 1 "melee": short range, high
+damage, tanky, fast — the stalker/zealot split), per-unit movement,
+attacks with cooldowns, health, unit death, a scripted enemy (chase
+closest ally, attack in range), SMAC-style shaped team reward (normalized
+damage + kill + win bonuses), and — crucially for the VDN engine —
+LEGAL-ACTION MASKS: the attack-enemy-j action is only available while
+enemy j is alive and in the attacker's type-dependent range, exercising
+the masked epsilon-greedy and masked-target paths end to end.
+
+SMAX-depth mechanics:
+- **Shields** (the stalker mechanic): ranged units carry a shield pool
+  that absorbs damage before health and regenerates after a few unhit
+  steps; reward counts shield damage like SMAC does.
+- **Sight ranges**: per-type sight radius gates the observation — units
+  beyond sight appear as zeros (partial observability; sight > attack
+  range, so legal attacks always target visible enemies).
+- **Named maps**: SMAX-style unit-composition presets ("2s3z", "3s5z",
+  "5m", "2s1z_vs_3z") selectable via ``map_name``.
 
 Actions per ally: [noop, up, right, down, left, attack_0..attack_{M-1}].
-Observations per ally: own (pos, health, cooldown) + per-ally and
-per-enemy relative (pos, health, alive) in fixed slots (dead units zero).
+Observations per ally: own (pos, health, shield, cooldown, type) +
+per-ally and per-enemy relative (pos, health, shield, alive, type) in
+fixed slots (dead or out-of-sight units zero).
 """
 
 from __future__ import annotations
@@ -34,16 +45,29 @@ from purejaxql_tpu.envs.marl.base import MultiAgentEnv
 class SkirmishState:
     ally_pos: jax.Array      # (N, 2)
     ally_health: jax.Array   # (N,)
+    ally_shield: jax.Array   # (N,)
     ally_cd: jax.Array       # (N,) attack cooldown
+    ally_unhit: jax.Array    # (N,) steps since last damage taken
     enemy_pos: jax.Array     # (M, 2)
     enemy_health: jax.Array  # (M,)
+    enemy_shield: jax.Array  # (M,)
     enemy_cd: jax.Array      # (M,)
+    enemy_unhit: jax.Array   # (M,)
     time: jax.Array
 
 
 _MOVES = jnp.array(
     [[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, -1.0], [-1.0, 0.0]]
 )
+
+# SMAX-style unit-composition presets (s = shielded ranged "stalker",
+# z = melee "zealot", m = unshielded... here m maps to ranged too)
+MAPS = {
+    "2s3z": ((0, 0, 1, 1, 1), (0, 0, 1, 1, 1)),
+    "3s5z": ((0, 0, 0, 1, 1, 1, 1, 1), (0, 0, 0, 1, 1, 1, 1, 1)),
+    "5m": ((0, 0, 0, 0, 0), (0, 0, 0, 0, 0)),
+    "2s1z_vs_3z": ((0, 0, 1), (1, 1, 1)),
+}
 
 
 class Skirmish(MultiAgentEnv):
@@ -52,6 +76,10 @@ class Skirmish(MultiAgentEnv):
     TYPE_DAMAGE = (1.0, 2.0)
     TYPE_HEALTH = (4.0, 7.0)
     TYPE_SPEED = (0.45, 0.6)
+    TYPE_SHIELD = (3.0, 0.0)   # stalkers carry shields, zealots don't
+    TYPE_SIGHT = (4.0, 2.5)    # sight > attack range for both types
+    SHIELD_REGEN = 0.5         # per step, after SHIELD_REGEN_DELAY unhit
+    SHIELD_REGEN_DELAY = 3
 
     def __init__(
         self,
@@ -59,12 +87,15 @@ class Skirmish(MultiAgentEnv):
         num_enemies: int = None,
         ally_types: tuple = (0, 0, 1),
         enemy_types: tuple = (0, 0, 1),
+        map_name: str = None,
         max_steps: int = 64,
         arena: float = 8.0,
         attack_cooldown: int = 2,
     ):
-        # num_allies/num_enemies override the type tuples with all-ranged
-        # teams (back-compat with simple configs)
+        # map presets override the type tuples; num_allies/num_enemies
+        # override them with all-ranged teams (back-compat)
+        if map_name is not None:
+            ally_types, enemy_types = MAPS[map_name]
         if num_allies is not None and num_allies != len(ally_types):
             ally_types = tuple([0] * num_allies)
         if num_enemies is not None and num_enemies != len(enemy_types):
@@ -81,14 +112,18 @@ class Skirmish(MultiAgentEnv):
         self.arena = arena
         self.attack_cooldown = attack_cooldown
         self.max_health = max(self.TYPE_HEALTH)
+        self.max_shield = max(max(self.TYPE_SHIELD), 1e-6)
         self.num_actions = 5 + num_enemies
-        # own (2 pos + health + cd + type) + per other unit (2 rel +
-        # health + alive + type)
-        self.obs_dim = 5 + (num_allies - 1) * 5 + num_enemies * 5
-        # total reward available: all enemy health + kill + win bonuses
+        # own (2 pos + health + shield + cd + type) + per other unit
+        # (2 rel + health + shield + alive + type)
+        self.obs_dim = 6 + (num_allies - 1) * 6 + num_enemies * 6
+        # total reward available: all enemy health + shields + kill + win
+        # bonuses (shield damage rewards like SMAC; regen can exceed this
+        # slightly in long fights — the normalization is nominal)
         _type_health = jnp.asarray(self.TYPE_HEALTH)
+        _type_shield = jnp.asarray(self.TYPE_SHIELD)
         self._enemy_total_health = float(
-            _type_health[self.enemy_types].sum()
+            (_type_health + _type_shield)[self.enemy_types].sum()
         )
         self._max_reward = (
             self._enemy_total_health + num_enemies * 0.5 + 1.0
@@ -107,18 +142,41 @@ class Skirmish(MultiAgentEnv):
             maxval=jnp.array([half, half]),
         )
         type_health = jnp.asarray(self.TYPE_HEALTH)
+        type_shield = jnp.asarray(self.TYPE_SHIELD)
         state = SkirmishState(
             ally_pos=ally_pos,
             ally_health=type_health[self.ally_types],
+            ally_shield=type_shield[self.ally_types],
             ally_cd=jnp.zeros(self.num_allies, jnp.int32),
+            ally_unhit=jnp.zeros(self.num_allies, jnp.int32),
             enemy_pos=enemy_pos,
             enemy_health=type_health[self.enemy_types],
+            enemy_shield=type_shield[self.enemy_types],
             enemy_cd=jnp.zeros(self.num_enemies, jnp.int32),
+            enemy_unhit=jnp.zeros(self.num_enemies, jnp.int32),
             time=jnp.asarray(0, jnp.int32),
         )
         return self.get_obs(state), state
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _apply_damage(shield, health, dmg):
+        """Shields absorb first (SC2 rule); returns (shield, health,
+        effective damage dealt — capped at what remained)."""
+        absorbed = jnp.minimum(shield, dmg)
+        overflow = dmg - absorbed
+        new_health = jnp.maximum(health - overflow, 0.0)
+        dealt = absorbed + (health - new_health)
+        return shield - absorbed, new_health, dealt
+
+    def _regen(self, shield, unhit, alive, types):
+        """Shield regeneration after SHIELD_REGEN_DELAY unhit steps."""
+        cap = jnp.asarray(self.TYPE_SHIELD)[types]
+        regen_ok = alive & (unhit >= self.SHIELD_REGEN_DELAY)
+        return jnp.where(
+            regen_ok, jnp.minimum(shield + self.SHIELD_REGEN, cap), shield
+        )
+
     def step(self, key: jax.Array, state: SkirmishState, actions: Dict):
         acts = jnp.stack([actions[a] for a in self.agents])  # (N,)
         ally_alive = state.ally_health > 0
@@ -157,7 +215,9 @@ class Skirmish(MultiAgentEnv):
             * (can_attack * a_damage)[:, None]
         )  # (N, M)
         enemy_damage = dmg_matrix.sum(axis=0)
-        enemy_health = jnp.maximum(state.enemy_health - enemy_damage, 0.0)
+        enemy_shield, enemy_health, dealt = self._apply_damage(
+            state.enemy_shield, state.enemy_health, enemy_damage
+        )
         killed = (state.enemy_health > 0) & (enemy_health <= 0)
         ally_cd = jnp.where(
             can_attack, self.attack_cooldown, jnp.maximum(state.ally_cd - 1, 0)
@@ -192,15 +252,28 @@ class Skirmish(MultiAgentEnv):
             jax.nn.one_hot(closest, self.num_allies)
             * (e_attacks * e_damage)[:, None]
         ).sum(axis=0)
-        ally_health = jnp.maximum(state.ally_health - ally_damage, 0.0)
+        ally_shield, ally_health, _ = self._apply_damage(
+            state.ally_shield, state.ally_health, ally_damage
+        )
         enemy_cd = jnp.where(
             e_attacks, self.attack_cooldown, jnp.maximum(state.enemy_cd - 1, 0)
         )
 
-        # -- reward (SMAC-style shaped, normalized to ~[0, 1] total) -----
+        # -- shield regen / unhit counters -------------------------------
+        ally_unhit = jnp.where(ally_damage > 0, 0, state.ally_unhit + 1)
+        enemy_unhit = jnp.where(enemy_damage > 0, 0, state.enemy_unhit + 1)
+        ally_shield = self._regen(
+            ally_shield, ally_unhit, ally_health > 0, self.ally_types
+        )
+        enemy_shield = self._regen(
+            enemy_shield, enemy_unhit, enemy_health > 0, self.enemy_types
+        )
+
+        # -- reward (SMAC-style shaped, normalized to ~[0, 1] total;
+        #    shield damage counts, overkill doesn't) ----------------------
         all_enemies_dead = (enemy_health <= 0).all()
         reward = (
-            enemy_damage.sum()
+            dealt.sum()
             + 0.5 * killed.sum()
             + 1.0 * all_enemies_dead.astype(jnp.float32)
         ) / self._max_reward
@@ -212,10 +285,14 @@ class Skirmish(MultiAgentEnv):
         stepped = SkirmishState(
             ally_pos=ally_pos,
             ally_health=ally_health,
+            ally_shield=ally_shield,
             ally_cd=ally_cd,
+            ally_unhit=ally_unhit,
             enemy_pos=enemy_pos,
             enemy_health=enemy_health,
+            enemy_shield=enemy_shield,
             enemy_cd=enemy_cd,
+            enemy_unhit=enemy_unhit,
             time=new_time,
         )
         obs_re, state_re = self.reset(key)
@@ -241,6 +318,7 @@ class Skirmish(MultiAgentEnv):
 
         a_types = self.ally_types.astype(jnp.float32)
         e_types = self.enemy_types.astype(jnp.float32)
+        a_sight = jnp.asarray(self.TYPE_SIGHT)[self.ally_types]
 
         def single(i):
             own = jnp.concatenate(
@@ -249,6 +327,7 @@ class Skirmish(MultiAgentEnv):
                     jnp.array(
                         [
                             state.ally_health[i] / self.max_health,
+                            state.ally_shield[i] / self.max_shield,
                             state.ally_cd[i] / self.attack_cooldown,
                         ]
                     ),
@@ -256,29 +335,37 @@ class Skirmish(MultiAgentEnv):
                 ]
             )
 
-            def unit_feats(pos, health, alive, utype):
-                rel = (pos - state.ally_pos[i]) / self.arena * alive
+            def unit_feats(pos, health, shield, alive, utype):
+                # sight gating: units beyond my sight radius read as zeros
+                dist = jnp.linalg.norm(pos - state.ally_pos[i])
+                vis = alive * (dist <= a_sight[i]).astype(jnp.float32)
+                rel = (pos - state.ally_pos[i]) / self.arena * vis
                 return jnp.concatenate(
                     [
                         rel,
                         jnp.array(
-                            [health / self.max_health * alive, alive, utype]
+                            [
+                                health / self.max_health * vis,
+                                shield / self.max_shield * vis,
+                                vis,
+                                utype * vis,
+                            ]
                         ),
                     ]
                 )
 
             allies = [
                 unit_feats(
-                    state.ally_pos[j], state.ally_health[j], ally_alive[j],
-                    a_types[j],
+                    state.ally_pos[j], state.ally_health[j],
+                    state.ally_shield[j], ally_alive[j], a_types[j],
                 )
                 for j in range(self.num_allies)
                 if j != i
             ]
             enemies = [
                 unit_feats(
-                    state.enemy_pos[j], state.enemy_health[j], enemy_alive[j],
-                    e_types[j],
+                    state.enemy_pos[j], state.enemy_health[j],
+                    state.enemy_shield[j], enemy_alive[j], e_types[j],
                 )
                 for j in range(self.num_enemies)
             ]

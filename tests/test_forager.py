@@ -161,3 +161,82 @@ def test_cave_descent_and_rich_ores():
         jax.random.PRNGKey(13), state, jnp.asarray(F.A_DO), params
     )
     assert int(state.level) == W.SURFACE
+
+
+def test_deep_floor_descent_ruby_and_skeletons():
+    """The dungeon has a third floor: cave ladders descend to DEEP
+    (achievement), ruby spawns only there (iron pickaxe to mine), and
+    skeletons haunt both dungeon floors."""
+    import jax.numpy as jnp
+
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(11), params)
+    blocks = np.asarray(state.blocks)
+
+    # ruby exists on the deep floor and nowhere else
+    assert (blocks[W.DEEP] == W.RUBY).sum() > 5
+    assert (blocks[W.SURFACE] == W.RUBY).sum() == 0
+    assert (blocks[W.CAVE] == W.RUBY).sum() == 0
+    # seams: cave has both ladder directions, deep has the ups
+    assert (blocks[W.CAVE] == W.LADDER_DOWN).sum() == 2
+    assert (blocks[W.DEEP] == W.LADDER_UP).sum() == 2
+    # deep is harsher: more lava than the cave
+    assert (blocks[W.DEEP] == W.LAVA).sum() > (blocks[W.CAVE] == W.LAVA).sum()
+
+    # descend cave -> deep via a scripted ladder DO
+    ly, lx = np.argwhere(blocks[W.CAVE] == W.LADDER_DOWN)[0]
+    state = state.replace(
+        level=jnp.asarray(W.CAVE, jnp.int32),
+        pos=jnp.asarray([ly + 1, lx], jnp.int32),
+        facing=jnp.asarray(0),
+    )
+    obs, state, r, d, _ = env.step(
+        jax.random.PRNGKey(12), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(state.level) == W.DEEP
+    assert bool(state.achievements[F._ACH["enter_deep"]])
+    assert float(r) >= 1.0
+
+    # climb back up to the cave
+    state = state.replace(
+        pos=jnp.asarray([ly + 1, lx], jnp.int32), facing=jnp.asarray(0)
+    )
+    obs, state, r, d, _ = env.step(
+        jax.random.PRNGKey(13), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(state.level) == W.CAVE
+
+    # skeletons are assigned to both dungeon floors
+    lvls = np.asarray(state.skel_level)
+    assert (lvls == W.CAVE).any() and (lvls == W.DEEP).any()
+
+
+def test_ruby_requires_iron_pickaxe():
+    import jax.numpy as jnp
+
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(5), params)
+    blocks = np.asarray(state.blocks)
+    ry, rx = np.argwhere(blocks[W.DEEP] == W.RUBY)[0]
+    state = state.replace(
+        level=jnp.asarray(W.DEEP, jnp.int32),
+        pos=jnp.asarray([ry + 1, rx], jnp.int32),
+        facing=jnp.asarray(0),
+    )
+    # without an iron pickaxe: nothing happens
+    _, s2, r, _, _ = env.step(
+        jax.random.PRNGKey(6), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(s2.inventory[F.INV["ruby"]]) == 0
+    assert int(np.asarray(s2.blocks)[W.DEEP, ry, rx]) == W.RUBY
+    # with one: ruby mined, achievement, tile becomes path
+    state = state.replace(
+        inventory=state.inventory.at[F.INV["iron_pickaxe"]].set(1)
+    )
+    _, s3, r, _, _ = env.step(
+        jax.random.PRNGKey(6), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(s3.inventory[F.INV["ruby"]]) == 1
+    assert bool(s3.achievements[F._ACH["collect_ruby"]])
+    assert float(r) >= 1.0
+    assert int(np.asarray(s3.blocks)[W.DEEP, ry, rx]) == W.PATH

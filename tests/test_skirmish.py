@@ -56,6 +56,7 @@ def test_win_ends_episode_with_bonus():
     state = state.replace(
         ally_pos=jnp.stack([state.enemy_pos[0] + 0.3] * 2),
         enemy_health=state.enemy_health.at[0].set(1.0),
+        enemy_shield=jnp.zeros_like(state.enemy_shield),
     )
     actions = {a: jnp.asarray(5) for a in env.agents}
     obs, state2, rew, done, info = env.step(jax.random.PRNGKey(1), state, actions)
@@ -135,7 +136,76 @@ def test_unit_types_differ():
     )
     actions = {"ally_0": jnp.asarray(5), "ally_1": jnp.asarray(5)}
     _, s3, rew, _, _ = env.step(jax.random.PRNGKey(1), state2, actions)
-    dealt = float(state2.enemy_health[0]) - float(s3.enemy_health[0])
+    # damage lands on shield first (enemy 0 is a shielded stalker)
+    dealt = float(
+        state2.enemy_health[0] + state2.enemy_shield[0]
+    ) - float(s3.enemy_health[0] + s3.enemy_shield[0])
     assert dealt == pytest.approx(
         env.TYPE_DAMAGE[0] + env.TYPE_DAMAGE[1]
     )
+
+
+def test_shields_absorb_then_regen():
+    """Stalker shields absorb damage before health and regenerate after a
+    few unhit steps (the SMAX shield mechanic)."""
+    env = make_marl("Skirmish-v0", ally_types=(0,), enemy_types=(0,))
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    # park the ally in range, far enough that the enemy can't retaliate
+    state = state.replace(
+        ally_pos=state.enemy_pos[0][None] + jnp.asarray([[2.0, 0.0]]),
+        enemy_pos=state.enemy_pos,
+    )
+    actions = {"ally_0": jnp.asarray(5)}
+    obs, s2, rew, done, _ = env.step(jax.random.PRNGKey(1), state, actions)
+    # 1.0 ranged damage went to the 3.0 shield, health untouched
+    assert float(s2.enemy_shield[0]) == 2.0
+    assert float(s2.enemy_health[0]) == float(state.enemy_health[0])
+    # shield damage still rewards (SMAC convention)
+    assert float(rew["__all__"]) > 0.0
+
+    # leave the enemy unhit: after the regen delay the shield refills
+    noop = {"ally_0": jnp.asarray(0)}
+    s = s2.replace(ally_pos=jnp.asarray([[-8.0, -8.0]]))  # out of range
+    shield_trace = []
+    for t in range(8):
+        _, s, _, d, _ = env.step(jax.random.PRNGKey(10 + t), s, noop)
+        if bool(d["__all__"]):
+            break
+        shield_trace.append(float(s.enemy_shield[0]))
+    assert max(shield_trace) > 2.0, shield_trace  # regenerated
+
+
+def test_sight_range_gates_observation():
+    """Units beyond the observer's sight radius read as zeros (partial
+    observability); the same unit in sight is visible."""
+    env = make_marl("Skirmish-v0", ally_types=(0,), enemy_types=(1,))
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    # enemy far outside ranged sight (4.0)
+    state = state.replace(
+        ally_pos=jnp.asarray([[-6.0, 0.0]]),
+        enemy_pos=jnp.asarray([[6.0, 0.0]]),
+    )
+    obs = env.get_obs(state)
+    enemy_slot = np.asarray(obs["ally_0"])[6:]  # own block is 6 dims
+    np.testing.assert_array_equal(enemy_slot, 0.0)
+
+    state = state.replace(enemy_pos=jnp.asarray([[-3.0, 0.0]]))
+    obs = env.get_obs(state)
+    enemy_slot = np.asarray(obs["ally_0"])[6:]
+    assert np.abs(enemy_slot).sum() > 0.0  # visible now
+    assert enemy_slot[4] == 1.0  # alive+visible flag
+
+
+def test_map_presets():
+    env = make_marl("Skirmish-v0", map_name="2s3z")
+    assert env.num_allies == 5 and env.num_enemies == 5
+    assert tuple(np.asarray(env.ally_types)) == (0, 0, 1, 1, 1)
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    assert obs["ally_0"].shape == (env.obs_dim,)
+    # zealots start shieldless, stalkers shielded
+    np.testing.assert_array_equal(
+        np.asarray(state.ally_shield), [3.0, 3.0, 0.0, 0.0, 0.0]
+    )
+    env2 = make_marl("Skirmish-v0", map_name="2s1z_vs_3z")
+    assert env2.num_allies == 3 and env2.num_enemies == 3
+    assert tuple(np.asarray(env2.enemy_types)) == (1, 1, 1)
