@@ -9,14 +9,18 @@ resource gathering gated by tool tiers, crafting at stations, hunger /
 thirst / energy / health survival dynamics, day-night cycles with hostile
 mobs, a multi-floor dungeon (craftax-style vertical depth: aligned ladder
 pairs descend surface -> cave -> deep, each floor with richer ore veins,
-more lava, and more skeletons than the one above; ruby spawns only on the
-deep floor), and a 25-achievement reward structure (+1 on each first-time
-achievement per episode, +-0.1 per health point gained/lost).
+more lava, and tougher mobs than the one above; ruby and sapphire spawn
+only on the deep floor, which orcs patrol and a lone high-health WARDEN
+boss guards), a diamond tool tier above iron, bow-and-arrow ranged
+combat (craftax's bow: craft at a table, fire down the facing ray, first
+mob in line-of-sight takes heavy damage), and a 33-achievement reward
+structure (+1 on each first-time achievement per episode, +-0.1 per
+health point gained/lost).
 
 Observations are symbolic (craftax-symbolic-style): a flattened float32
 vector of a 9x9 one-hot local block/mob view plus inventory, needs,
-facing, time-of-day and sleep state. 17 discrete actions
-(noop, 4 moves, do, sleep, 4 places, 6 crafts).
+facing, time-of-day and sleep state. 22 discrete actions
+(noop, 4 moves, do, sleep, 4 places, 10 crafts, shoot).
 
 Everything is branchless jnp.where logic over static-shape arrays: the
 whole step is a handful of fused gather/compare ops, and worlds vmap to
@@ -36,6 +40,7 @@ from purejaxql_tpu.envs.gridworld import worldgen as W
 N_COWS = 8
 N_ZOMBIES = 8
 N_SKELETONS = 8  # haunt the cave and deep floors (level per skeleton)
+N_ORCS = 4       # tier-2 melee mobs patrolling the deep floor
 
 ACHIEVEMENTS = [
     "collect_wood", "place_table", "eat_cow", "collect_sapling",
@@ -44,7 +49,9 @@ ACHIEVEMENTS = [
     "defeat_skeleton", "collect_coal", "make_stone_pickaxe",
     "make_stone_sword", "wake_up", "place_furnace", "collect_iron",
     "make_iron_pickaxe", "make_iron_sword", "collect_diamond", "enter_cave",
-    "enter_deep", "collect_ruby",
+    "enter_deep", "collect_ruby", "collect_sapphire",
+    "make_diamond_pickaxe", "make_diamond_sword", "make_bow", "make_arrow",
+    "fire_bow", "defeat_orc", "defeat_warden",
 ]
 NUM_ACHIEVEMENTS = len(ACHIEVEMENTS)
 _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
@@ -54,14 +61,22 @@ INV = {
     "wood": 0, "stone": 1, "coal": 2, "iron": 3, "diamond": 4, "sapling": 5,
     "wood_pickaxe": 6, "stone_pickaxe": 7, "iron_pickaxe": 8,
     "wood_sword": 9, "stone_sword": 10, "iron_sword": 11, "ruby": 12,
+    "diamond_pickaxe": 13, "diamond_sword": 14, "bow": 15, "arrow": 16,
+    "sapphire": 17,
 }
-NUM_INV = 13
+NUM_INV = 18
 
 # actions
 A_NOOP, A_LEFT, A_RIGHT, A_UP, A_DOWN, A_DO, A_SLEEP = range(7)
 A_PLACE_STONE, A_PLACE_TABLE, A_PLACE_FURNACE, A_PLACE_PLANT = 7, 8, 9, 10
 A_MAKE_WP, A_MAKE_SP, A_MAKE_IP, A_MAKE_WS, A_MAKE_SS, A_MAKE_IS = range(11, 17)
-NUM_ACTIONS = 17
+A_MAKE_DP, A_MAKE_DS, A_MAKE_BOW, A_MAKE_ARROW, A_SHOOT = range(17, 22)
+NUM_ACTIONS = 22
+
+ARROW_RANGE = 5   # tiles along the facing ray
+ARROW_DAMAGE = 3
+ARROWS_PER_CRAFT = 3
+MAX_ARROWS = 9
 
 # direction vectors: 0 up, 1 right, 2 down, 3 left (dy, dx)
 _DIRS = jnp.array([[-1, 0], [0, 1], [1, 0], [0, -1]])
@@ -74,7 +89,8 @@ _PLACEABLE = jnp.zeros(W.NUM_BLOCK_TYPES, bool).at[
 ].set(True)
 
 VIEW = 9  # local obs window
-OBS_DIM = VIEW * VIEW * (W.NUM_BLOCK_TYPES + 3) + NUM_INV + 4 + 4 + 2 + 1 + 1
+# grid channels: one-hot blocks + 5 mob channels (cow/zombie/skel/orc/warden)
+OBS_DIM = VIEW * VIEW * (W.NUM_BLOCK_TYPES + 5) + NUM_INV + 4 + 4 + 2 + 1 + 1
 
 
 @struct.dataclass
@@ -108,6 +124,12 @@ class ForagerState:
     skel_level: jax.Array      # (N,) which dungeon floor each skeleton is on
     skel_alive: jax.Array
     skel_health: jax.Array
+    orc_pos: jax.Array         # (N_ORCS, 2) — orcs live on the deep floor
+    orc_alive: jax.Array
+    orc_health: jax.Array
+    warden_pos: jax.Array      # (2,) — the lone deep-floor boss
+    warden_alive: jax.Array
+    warden_health: jax.Array
     time: jax.Array
     terminal: jax.Array
 
@@ -121,7 +143,7 @@ class ForagerParams:
 
 class Forager(Environment):
     def __init__(self, log_achievements: bool = False):
-        # Per-achievement info keys (22 extra scalars per step) are opt-in,
+        # Per-achievement info keys (33 extra scalars per step) are opt-in,
         # mirroring the reference's LOG_ACHIEVEMENTS flag
         # (pqn_craftax.py:384-387).
         self.log_achievements = log_achievements
@@ -136,7 +158,7 @@ class Forager(Environment):
 
     # ------------------------------------------------------------------
     def reset_env(self, key, params):
-        k_world, k_cow, k_skel = jax.random.split(key, 3)
+        k_world, k_cow, k_skel, k_orc, k_warden = jax.random.split(key, 5)
         blocks = W.generate_world(k_world)
         c = W.PAD + W.WORLD_SIZE // 2
 
@@ -157,6 +179,32 @@ class Forager(Environment):
         on_open_floor = (
             blocks[skel_level, skel_pos[:, 0], skel_pos[:, 1]] == W.PATH
         )
+
+        # orcs patrol the deep floor; the warden guards a deep chamber.
+        # 8 candidate cells per mob, first open one wins (the deep floor
+        # is ~45% open, so P(all 8 closed) < 1%)
+        orc_cands = jax.random.randint(
+            k_orc, (N_ORCS, 8, 2), W.PAD + 2, W.PAD + W.WORLD_SIZE - 2
+        )
+        orc_cand_open = (
+            blocks[W.DEEP, orc_cands[..., 0], orc_cands[..., 1]] == W.PATH
+        )
+        orc_pick = jnp.argmax(orc_cand_open, axis=1)
+        orc_pos = jnp.take_along_axis(
+            orc_cands, orc_pick[:, None, None], axis=1
+        )[:, 0]
+        orc_open = jnp.take_along_axis(
+            orc_cand_open, orc_pick[:, None], axis=1
+        )[:, 0]
+        warden_cands = jax.random.randint(
+            k_warden, (8, 2), W.PAD + 4, W.PAD + W.WORLD_SIZE - 4
+        )
+        warden_cand_open = (
+            blocks[W.DEEP, warden_cands[:, 0], warden_cands[:, 1]] == W.PATH
+        )
+        warden_pick = jnp.argmax(warden_cand_open)
+        warden_pos = warden_cands[warden_pick]
+        warden_open = warden_cand_open[warden_pick]
 
         state = ForagerState(
             blocks=blocks,
@@ -187,6 +235,12 @@ class Forager(Environment):
             skel_level=skel_level,
             skel_alive=on_open_floor,
             skel_health=jnp.full(N_SKELETONS, 3, jnp.int32),
+            orc_pos=orc_pos.astype(jnp.int32),
+            orc_alive=orc_open,
+            orc_health=jnp.full(N_ORCS, 8, jnp.int32),
+            warden_pos=warden_pos.astype(jnp.int32),
+            warden_alive=warden_open,
+            warden_health=jnp.asarray(20, jnp.int32),
             time=jnp.asarray(0, jnp.int32),
             terminal=jnp.asarray(False),
         )
@@ -194,7 +248,9 @@ class Forager(Environment):
 
     # ------------------------------------------------------------------
     def step_env(self, key, state, action, params):
-        k_do, k_cow, k_zspawn, k_zmove, k_skel = jax.random.split(key, 5)
+        k_do, k_cow, k_zspawn, k_zmove, k_skel, k_orc = jax.random.split(
+            key, 6
+        )
         old_health = state.health
         ach = state.achievements
         inv = state.inventory
@@ -235,13 +291,24 @@ class Forager(Environment):
         skel_here = at_tgt(state.skel_pos, state.skel_alive) & (
             state.skel_level == lvl
         )
-        any_mob = cow_here.any() | zom_here.any() | skel_here.any()
+        orc_here = at_tgt(state.orc_pos, state.orc_alive) & (lvl == W.DEEP)
+        warden_here = (
+            state.warden_alive
+            & (lvl == W.DEEP)
+            & (state.warden_pos[0] == ty)
+            & (state.warden_pos[1] == tx)
+        )
+        any_mob = (
+            cow_here.any() | zom_here.any() | skel_here.any()
+            | orc_here.any() | warden_here
+        )
 
         # ---- DO action ----------------------------------------------
         do = jnp.logical_and(action == A_DO, jnp.logical_not(sleeping))
-        sword = 1 + inv[INV["wood_sword"]] + inv[INV["stone_sword"]] * 2 + inv[
-            INV["iron_sword"]
-        ] * 3  # damage 1..7
+        sword = (
+            1 + inv[INV["wood_sword"]] + inv[INV["stone_sword"]] * 2
+            + inv[INV["iron_sword"]] * 3 + inv[INV["diamond_sword"]] * 4
+        )  # damage 1..11
 
         # combat (mob on target tile takes priority over the block)
         def hit(mob_health, here, damage):
@@ -250,12 +317,18 @@ class Forager(Environment):
         cow_health = hit(state.cow_health, cow_here, sword)
         zombie_health = hit(state.zombie_health, zom_here, sword)
         skel_health = hit(state.skel_health, skel_here, sword)
+        orc_health = hit(state.orc_health, orc_here, sword)
+        warden_health = hit(state.warden_health, warden_here, sword)
         cow_killed = jnp.logical_and(cow_here & do, cow_health <= 0)
         zom_killed = jnp.logical_and(zom_here & do, zombie_health <= 0)
         skel_killed = jnp.logical_and(skel_here & do, skel_health <= 0)
+        orc_killed = jnp.logical_and(orc_here & do, orc_health <= 0)
+        warden_killed = jnp.logical_and(warden_here & do, warden_health <= 0)
         cow_alive = jnp.logical_and(state.cow_alive, ~cow_killed)
         zombie_alive = jnp.logical_and(state.zombie_alive, ~zom_killed)
         skel_alive = jnp.logical_and(state.skel_alive, ~skel_killed)
+        orc_alive = jnp.logical_and(state.orc_alive, ~orc_killed)
+        warden_alive = jnp.logical_and(state.warden_alive, ~warden_killed)
 
         food = jnp.where(cow_killed.any(), jnp.minimum(state.food + 6, 9), state.food)
         ach = ach.at[_ACH["eat_cow"]].set(ach[_ACH["eat_cow"]] | cow_killed.any())
@@ -264,6 +337,12 @@ class Forager(Environment):
         )
         ach = ach.at[_ACH["defeat_skeleton"]].set(
             ach[_ACH["defeat_skeleton"]] | skel_killed.any()
+        )
+        ach = ach.at[_ACH["defeat_orc"]].set(
+            ach[_ACH["defeat_orc"]] | orc_killed.any()
+        )
+        ach = ach.at[_ACH["defeat_warden"]].set(
+            ach[_ACH["defeat_warden"]] | warden_killed
         )
 
         do_block = jnp.logical_and(do, jnp.logical_not(any_mob))
@@ -274,6 +353,7 @@ class Forager(Environment):
         has_wp = inv[INV["wood_pickaxe"]] > 0
         has_sp = inv[INV["stone_pickaxe"]] > 0
         has_ip = inv[INV["iron_pickaxe"]] > 0
+        has_dp = inv[INV["diamond_pickaxe"]] > 0
 
         got_wood = do_block & (tblock == W.TREE)
         got_drink = do_block & (tblock == W.WATER)
@@ -284,6 +364,7 @@ class Forager(Environment):
         got_iron = do_block & (tblock == W.IRON) & has_sp
         got_diamond = do_block & (tblock == W.DIAMOND) & has_ip
         got_ruby = do_block & (tblock == W.RUBY) & has_ip
+        got_sapphire = do_block & (tblock == W.SAPPHIRE) & has_dp
         ate_plant = do_block & (tblock == W.PLANT_RIPE)
         went_down = do_block & (tblock == W.LADDER_DOWN)
         went_up = do_block & (tblock == W.LADDER_UP)
@@ -302,17 +383,21 @@ class Forager(Environment):
         inv = collect(got_iron, "iron")
         inv = collect(got_diamond, "diamond")
         inv = collect(got_ruby, "ruby")
+        inv = collect(got_sapphire, "sapphire")
         drink = jnp.where(got_drink, jnp.minimum(state.drink + 3, 9), state.drink)
         food = jnp.where(ate_plant, jnp.minimum(food + 4, 9), food)
 
-        mined = got_stone | got_coal | got_iron | got_diamond | got_ruby
+        mined = (
+            got_stone | got_coal | got_iron | got_diamond | got_ruby
+            | got_sapphire
+        )
 
         for cond, name in [
             (got_wood, "collect_wood"), (got_drink, "collect_drink"),
             (got_sapling, "collect_sapling"), (got_stone, "collect_stone"),
             (got_coal, "collect_coal"), (got_iron, "collect_iron"),
             (got_diamond, "collect_diamond"), (got_ruby, "collect_ruby"),
-            (ate_plant, "eat_plant"),
+            (got_sapphire, "collect_sapphire"), (ate_plant, "eat_plant"),
         ]:
             ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | cond)
 
@@ -397,6 +482,105 @@ class Forager(Environment):
         craft(A_MAKE_IS, "iron_sword",
               [("wood", 1), ("coal", 1), ("iron", 1)],
               "make_iron_sword", need_furnace=True)
+        craft(A_MAKE_DP, "diamond_pickaxe", [("wood", 1), ("diamond", 2)],
+              "make_diamond_pickaxe", need_furnace=True)
+        craft(A_MAKE_DS, "diamond_sword", [("wood", 1), ("diamond", 1)],
+              "make_diamond_sword", need_furnace=True)
+        craft(A_MAKE_BOW, "bow", [("wood", 2)], "make_bow")
+
+        # arrows stack (unlike tools): wood+stone -> +ARROWS_PER_CRAFT,
+        # capped at MAX_ARROWS
+        arrow_ok = (
+            (action == A_MAKE_ARROW)
+            & near_table
+            & (inv[INV["wood"]] >= 1)
+            & (inv[INV["stone"]] >= 1)
+            & (inv[INV["arrow"]] <= MAX_ARROWS - ARROWS_PER_CRAFT)
+        )
+        inv = jnp.where(
+            arrow_ok,
+            inv.at[INV["wood"]].add(-1).at[INV["stone"]].add(-1)
+            .at[INV["arrow"]].add(ARROWS_PER_CRAFT),
+            inv,
+        )
+        ach = ach.at[_ACH["make_arrow"]].set(ach[_ACH["make_arrow"]] | arrow_ok)
+
+        # ---- SHOOT: bow fires down the facing ray --------------------
+        # The arrow flies up to ARROW_RANGE tiles and stops at the first
+        # non-walkable tile; the nearest mob with line-of-sight takes
+        # ARROW_DAMAGE. All comparisons are dense (no scatters): ray
+        # tiles are a 5-element gather, mob hits a broadcast compare.
+        shoot = (
+            (action == A_SHOOT)
+            & jnp.logical_not(sleeping)
+            & (inv[INV["bow"]] > 0)
+            & (inv[INV["arrow"]] > 0)
+        )
+        ray_d = jnp.arange(1, ARROW_RANGE + 1)
+        ray = pos[None, :] + ray_d[:, None] * _DIRS[facing][None, :]  # (R, 2)
+        ray_free = _WALKABLE[blocks[lvl, ray[:, 0], ray[:, 1]]]
+        # clear[i]: every tile strictly before ray[i] is walkable
+        clear = jnp.concatenate(
+            [jnp.array([True]), jnp.cumprod(ray_free[:-1]).astype(bool)]
+        )
+
+        def ray_hits(mob_pos, alive):
+            # (M, R) — mob sits on ray tile i with line-of-sight
+            on_ray = (
+                alive[:, None]
+                & (mob_pos[:, 0, None] == ray[None, :, 0])
+                & (mob_pos[:, 1, None] == ray[None, :, 1])
+                & clear[None, :]
+            )
+            # distance of each mob along the ray (R+1 if not on it)
+            d = jnp.where(on_ray, ray_d[None, :], ARROW_RANGE + 1).min(axis=1)
+            return d
+
+        zd = ray_hits(state.zombie_pos,
+                      zombie_alive & (state.zombie_level == lvl))
+        sd = ray_hits(state.skel_pos, skel_alive & (state.skel_level == lvl))
+        od = ray_hits(state.orc_pos, orc_alive & (lvl == W.DEEP))
+        cd = ray_hits(state.cow_pos, cow_alive & (lvl == W.SURFACE))
+        wd = ray_hits(state.warden_pos[None, :],
+                      warden_alive[None] & (lvl == W.DEEP))
+        nearest = jnp.minimum(
+            jnp.minimum(jnp.minimum(zd.min(), sd.min()),
+                        jnp.minimum(od.min(), cd.min())),
+            wd.min(),
+        )
+        arrow_lands = shoot & (nearest <= ARROW_RANGE)
+
+        def ray_damage(health, d):
+            return jnp.where(
+                arrow_lands & (d == nearest), health - ARROW_DAMAGE, health
+            )
+
+        zombie_health = ray_damage(zombie_health, zd)
+        skel_health = ray_damage(skel_health, sd)
+        orc_health = ray_damage(orc_health, od)
+        cow_health = ray_damage(cow_health, cd)
+        warden_health = ray_damage(warden_health, wd[0])
+        inv = jnp.where(shoot, inv.at[INV["arrow"]].add(-1), inv)
+        ach = ach.at[_ACH["fire_bow"]].set(ach[_ACH["fire_bow"]] | shoot)
+
+        # arrow kills (cows shot at range still feed you)
+        z_shot = arrow_lands & (zombie_health <= 0) & zombie_alive
+        s_shot = arrow_lands & (skel_health <= 0) & skel_alive
+        o_shot = arrow_lands & (orc_health <= 0) & orc_alive
+        c_shot = arrow_lands & (cow_health <= 0) & cow_alive
+        w_shot = arrow_lands & (warden_health <= 0) & warden_alive
+        zombie_alive = zombie_alive & ~z_shot
+        skel_alive = skel_alive & ~s_shot
+        orc_alive = orc_alive & ~o_shot
+        cow_alive = cow_alive & ~c_shot
+        warden_alive = warden_alive & ~w_shot
+        food = jnp.where(c_shot.any(), jnp.minimum(food + 6, 9), food)
+        for cond, name in [
+            (z_shot.any(), "defeat_zombie"), (s_shot.any(), "defeat_skeleton"),
+            (o_shot.any(), "defeat_orc"), (w_shot.any(), "defeat_warden"),
+            (c_shot.any(), "eat_cow"),
+        ]:
+            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | cond)
 
         # ---- plant growth (surface only) ----------------------------
         surface = blocks[W.SURFACE]
@@ -499,7 +683,49 @@ class Forager(Environment):
             k_skel, state.skel_pos, skel_alive, 0.2, state.skel_level
         )
 
-        # mob melee damage (adjacent, every other step; worse when asleep)
+        # orcs chase on the deep floor (random-walk when the player is
+        # elsewhere); the warden chases relentlessly once the player is
+        # on its floor
+        ko1, ko2 = jax.random.split(k_orc)
+        on_deep = lvl == W.DEEP
+
+        def chase_step(mob_pos):
+            delta_m = pos[None, :] - mob_pos
+            sy = jnp.sign(delta_m[:, 0])
+            sx = jnp.sign(delta_m[:, 1])
+            gy = jnp.abs(delta_m[:, 0]) >= jnp.abs(delta_m[:, 1])
+            return jnp.stack(
+                [jnp.where(gy, sy, 0), jnp.where(gy, 0, sx)], axis=1
+            ).astype(jnp.int32)
+
+        orc_rand = random_walk(ko1, state.orc_pos, orc_alive, 0.25, W.DEEP)
+        ocand = jnp.clip(
+            state.orc_pos + chase_step(state.orc_pos),
+            W.PAD, W.PAD + W.WORLD_SIZE - 1,
+        )
+        o_ok = (
+            _WALKABLE[blocks[W.DEEP, ocand[:, 0], ocand[:, 1]]]
+            & (jax.random.uniform(ko2, (N_ORCS,)) < 0.6)
+            & orc_alive
+            & on_deep
+        )
+        orc_pos = jnp.where(
+            o_ok[:, None], ocand, jnp.where(on_deep, state.orc_pos, orc_rand)
+        )
+
+        wcand = jnp.clip(
+            state.warden_pos + chase_step(state.warden_pos[None, :])[0],
+            W.PAD, W.PAD + W.WORLD_SIZE - 1,
+        )
+        w_ok = (
+            _WALKABLE[blocks[W.DEEP, wcand[0], wcand[1]]]
+            & warden_alive
+            & on_deep
+        )
+        warden_pos = jnp.where(w_ok, wcand, state.warden_pos)
+
+        # mob melee damage (adjacent, every other step; worse when
+        # asleep; deep-floor mobs hit harder: orc 2, warden 3)
         def adjacent(mob_pos, alive):
             d = jnp.abs(mob_pos - pos[None, :]).sum(axis=1)
             return jnp.logical_and(alive, d <= 1)
@@ -510,9 +736,17 @@ class Forager(Environment):
         s_adj = adjacent(
             skel_pos, skel_alive & (state.skel_level == lvl)
         ).any()
+        o_adj = adjacent(orc_pos, orc_alive & on_deep).any()
+        w_adj = adjacent(warden_pos[None, :], warden_alive[None] & on_deep).any()
+        base_dmg = jnp.maximum(
+            jnp.maximum(
+                jnp.where(z_adj | s_adj, 1, 0), jnp.where(o_adj, 2, 0)
+            ),
+            jnp.where(w_adj, 3, 0),
+        )
         dmg = jnp.where(
-            (z_adj | s_adj) & (t % 2 == 0),
-            jnp.where(sleeping, 2, 1),
+            (base_dmg > 0) & (t % 2 == 0),
+            base_dmg + sleeping.astype(jnp.int32),
             0,
         )
         health = jnp.maximum(health - dmg, 0)
@@ -536,6 +770,9 @@ class Forager(Environment):
             zombie_alive=zombie_alive, zombie_health=zombie_health,
             skel_pos=skel_pos, skel_level=state.skel_level,
             skel_alive=skel_alive, skel_health=skel_health,
+            orc_pos=orc_pos, orc_alive=orc_alive, orc_health=orc_health,
+            warden_pos=warden_pos, warden_alive=warden_alive,
+            warden_health=warden_health,
             time=t, terminal=terminal,
         )
         done = self.is_terminal(new_state, params)
@@ -595,6 +832,14 @@ class Forager(Environment):
                 mob_channel(
                     state.skel_pos,
                     state.skel_alive & (state.skel_level == state.level),
+                ),
+                mob_channel(
+                    state.orc_pos,
+                    state.orc_alive & (state.level == W.DEEP),
+                ),
+                mob_channel(
+                    state.warden_pos[None, :],
+                    state.warden_alive[None] & (state.level == W.DEEP),
                 ),
             ],
             axis=-1,

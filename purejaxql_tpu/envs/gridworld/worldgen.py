@@ -32,7 +32,8 @@ LADDER_DOWN = 14
 LADDER_UP = 15
 LAVA = 16
 RUBY = 17
-NUM_BLOCK_TYPES = 18
+SAPPHIRE = 18
+NUM_BLOCK_TYPES = 19
 
 # map levels (craftax-style vertical depth)
 SURFACE = 0
@@ -144,6 +145,7 @@ def generate_world(key: jax.Array) -> jax.Array:
     deep = jnp.where(dwall & (dfeat < 0.18), IRON, deep)
     deep = jnp.where(dwall & (dfeat >= 0.18) & (dfeat < 0.30), DIAMOND, deep)
     deep = jnp.where(dwall & (dfeat >= 0.30) & (dfeat < 0.38), RUBY, deep)
+    deep = jnp.where(dwall & (dfeat >= 0.38) & (dfeat < 0.43), SAPPHIRE, deep)
 
     # ---- aligned ladder pairs ------------------------------------------
     # two ladders per floor seam at random interior cells; the upper floor

@@ -240,3 +240,149 @@ def test_ruby_requires_iron_pickaxe():
     assert bool(s3.achievements[F._ACH["collect_ruby"]])
     assert float(r) >= 1.0
     assert int(np.asarray(s3.blocks)[W.DEEP, ry, rx]) == W.PATH
+
+
+def test_tier2_diamond_tools_and_sapphire():
+    """Diamond pickaxe/sword craft at a furnace+table; sapphire needs the
+    diamond pickaxe; diamond sword raises melee damage."""
+    import jax.numpy as jnp
+
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(3), params)
+    blocks = np.asarray(state.blocks)
+
+    # sapphire only on deep
+    assert (blocks[W.DEEP] == W.SAPPHIRE).sum() > 5
+    assert (blocks[:2] == W.SAPPHIRE).sum() == 0
+
+    # teleport next to a table+furnace we place by fiat on the surface
+    py, px = int(state.pos[0]), int(state.pos[1])
+    new_blocks = state.blocks.at[W.SURFACE, py, px + 1].set(W.TABLE)
+    new_blocks = new_blocks.at[W.SURFACE, py, px - 1].set(W.FURNACE)
+    state = state.replace(
+        blocks=new_blocks,
+        inventory=state.inventory.at[F.INV["wood"]].set(5)
+        .at[F.INV["diamond"]].set(3),
+    )
+    _, state, r, _, _ = env.step(
+        jax.random.PRNGKey(4), state, jnp.asarray(F.A_MAKE_DP), params
+    )
+    assert int(state.inventory[F.INV["diamond_pickaxe"]]) == 1
+    assert bool(state.achievements[F._ACH["make_diamond_pickaxe"]])
+    assert float(r) >= 1.0
+    _, state, r, _, _ = env.step(
+        jax.random.PRNGKey(5), state, jnp.asarray(F.A_MAKE_DS), params
+    )
+    assert int(state.inventory[F.INV["diamond_sword"]]) == 1
+    assert bool(state.achievements[F._ACH["make_diamond_sword"]])
+
+    # mine a sapphire on the deep floor with the diamond pickaxe
+    sy, sx = np.argwhere(blocks[W.DEEP] == W.SAPPHIRE)[0]
+    state = state.replace(
+        level=jnp.asarray(W.DEEP, jnp.int32),
+        pos=jnp.asarray([sy + 1, sx], jnp.int32),
+        facing=jnp.asarray(0),
+    )
+    _, state, r, _, _ = env.step(
+        jax.random.PRNGKey(6), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(state.inventory[F.INV["sapphire"]]) == 1
+    assert bool(state.achievements[F._ACH["collect_sapphire"]])
+
+
+def test_tier2_bow_and_arrow():
+    """Bow + arrows craft at a table; shooting hits the first mob along
+    the facing ray with line-of-sight."""
+    import jax.numpy as jnp
+
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(7), params)
+    py, px = int(state.pos[0]), int(state.pos[1])
+    state = state.replace(
+        blocks=state.blocks.at[W.SURFACE, py, px + 1].set(W.TABLE),
+        inventory=state.inventory.at[F.INV["wood"]].set(5)
+        .at[F.INV["stone"]].set(3),
+    )
+    _, state, _, _, _ = env.step(
+        jax.random.PRNGKey(8), state, jnp.asarray(F.A_MAKE_BOW), params
+    )
+    assert int(state.inventory[F.INV["bow"]]) == 1
+    assert bool(state.achievements[F._ACH["make_bow"]])
+    _, state, _, _, _ = env.step(
+        jax.random.PRNGKey(9), state, jnp.asarray(F.A_MAKE_ARROW), params
+    )
+    assert int(state.inventory[F.INV["arrow"]]) == F.ARROWS_PER_CRAFT
+    assert bool(state.achievements[F._ACH["make_arrow"]])
+
+    # park a zombie 3 tiles down the facing ray on clear ground (at night,
+    # so the surface-zombie dawn-despawn rule doesn't cull it mid-test)
+    state = state.replace(
+        facing=jnp.asarray(2),  # facing down (+y)
+        time=jnp.asarray(159, jnp.int32),
+    )
+    ray = [(py + d, px) for d in range(1, 4)]
+    b = state.blocks
+    for (yy, xx) in ray:
+        b = b.at[W.SURFACE, yy, xx].set(W.GRASS)
+    state = state.replace(
+        blocks=b,
+        zombie_pos=state.zombie_pos.at[0].set(jnp.asarray([py + 3, px])),
+        zombie_alive=state.zombie_alive.at[0].set(True),
+        zombie_level=state.zombie_level.at[0].set(W.SURFACE),
+        zombie_health=state.zombie_health.at[0].set(F.ARROW_DAMAGE),
+    )
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(10), state, jnp.asarray(F.A_SHOOT), params
+    )
+    assert int(s2.inventory[F.INV["arrow"]]) == F.ARROWS_PER_CRAFT - 1
+    assert bool(s2.achievements[F._ACH["fire_bow"]])
+    assert not bool(s2.zombie_alive[0]), "arrow should kill the zombie"
+    assert bool(s2.achievements[F._ACH["defeat_zombie"]])
+
+    # a wall blocks line-of-sight
+    state = state.replace(
+        blocks=state.blocks.at[W.SURFACE, py + 1, px].set(W.STONE),
+        zombie_health=state.zombie_health.at[0].set(F.ARROW_DAMAGE),
+    )
+    _, s3, _, _, _ = env.step(
+        jax.random.PRNGKey(11), state, jnp.asarray(F.A_SHOOT), params
+    )
+    assert bool(s3.zombie_alive[0]), "wall should block the arrow"
+
+
+def test_tier2_orcs_and_warden():
+    """Orcs and the warden live on the deep floor, hit harder than
+    zombies, and grant achievements when slain."""
+    import jax.numpy as jnp
+
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(12), params)
+    assert bool(state.warden_alive)
+    assert int(np.asarray(state.orc_alive).sum()) >= 3, "orc spawns should be robust"
+
+    # put the player on deep next to a nearly-dead warden (bare-fist
+    # damage is 1)
+    wy, wx = int(state.warden_pos[0]), int(state.warden_pos[1])
+    state = state.replace(
+        level=jnp.asarray(W.DEEP, jnp.int32),
+        pos=jnp.asarray([wy + 1, wx], jnp.int32),
+        facing=jnp.asarray(0),
+        warden_health=jnp.asarray(1, jnp.int32),
+    )
+    _, s2, r, _, _ = env.step(
+        jax.random.PRNGKey(13), state, jnp.asarray(F.A_DO), params
+    )
+    assert not bool(s2.warden_alive)
+    assert bool(s2.achievements[F._ACH["defeat_warden"]])
+    assert float(r) >= 1.0
+
+    # adjacent live warden deals 3 damage on even ticks
+    state = state.replace(
+        warden_health=jnp.asarray(20, jnp.int32),
+        time=jnp.asarray(1, jnp.int32),  # next step has t % 2 == 0
+    )
+    _, s3, _, _, _ = env.step(
+        jax.random.PRNGKey(14), state, jnp.asarray(F.A_NOOP), params
+    )
+    # warden may have moved adjacent->adjacent; player took warden-tier damage
+    assert int(s3.health) <= int(state.health) - 3
