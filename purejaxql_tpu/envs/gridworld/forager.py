@@ -37,11 +37,6 @@ from purejaxql_tpu.envs import spaces
 from purejaxql_tpu.envs.base import Environment
 from purejaxql_tpu.envs.gridworld import worldgen as W
 
-N_COWS = 8
-N_ZOMBIES = 8
-N_SKELETONS = 8  # haunt the cave and deep floors (level per skeleton)
-N_ORCS = 4       # tier-2 melee mobs patrolling the deep floor
-
 ACHIEVEMENTS = [
     "collect_wood", "place_table", "eat_cow", "collect_sapling",
     "collect_drink", "make_wood_pickaxe", "make_wood_sword", "place_plant",
@@ -55,6 +50,48 @@ ACHIEVEMENTS = [
 ]
 NUM_ACHIEVEMENTS = len(ACHIEVEMENTS)
 _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
+
+# ---- unified mob table ------------------------------------------------
+# Every mob species lives in ONE (N_MOBS, ...) table with a static
+# per-slot type, so combat, archery, movement, adjacency damage and the
+# obs mob channels are each a single batched gather/compare over all 29
+# mobs instead of five small per-species op chains. On TPU the per-op
+# dispatch of tiny (8,)-shaped ops dominates an env step at 1024 envs;
+# one (29,)-shaped op chain is ~5x fewer ops for the same work.
+MOB_COW, MOB_ZOMBIE, MOB_SKEL, MOB_ORC, MOB_WARDEN = range(5)
+NUM_MOB_TYPES = 5
+N_COWS = 8
+N_ZOMBIES = 8   # spawn at night near the player / anywhere in the dungeon
+N_SKELETONS = 8  # haunt the cave and deep floors (level per skeleton)
+N_ORCS = 4       # tier-2 melee mobs patrolling the deep floor
+COWS = slice(0, 8)      # slot layout is static: per-type logic (zombie
+ZOMBIES = slice(8, 16)  # spawning) uses static slices, everything else
+SKELS = slice(16, 24)   # is type-indexed through MOB_TYPE
+ORCS = slice(24, 28)
+WARDEN = 28             # the lone deep-floor boss
+N_MOBS = 29
+MOB_TYPE = jnp.array(
+    [MOB_COW] * N_COWS + [MOB_ZOMBIE] * N_ZOMBIES + [MOB_SKEL] * N_SKELETONS
+    + [MOB_ORC] * N_ORCS + [MOB_WARDEN]
+)
+_TYPE_ONEHOT = MOB_TYPE[:, None] == jnp.arange(NUM_MOB_TYPES)[None, :]
+_SPAWN_HEALTH = jnp.array([3, 5, 3, 8, 20], jnp.int32)
+_MELEE_DMG = jnp.array([0, 1, 1, 2, 3], jnp.int32)
+# chance per step of taking a chase step toward the player (only while on
+# the player's floor); the warden chases relentlessly
+_CHASE_P = jnp.array([0.0, 0.7, 0.0, 0.6, 1.0], jnp.float32)
+# random-walk chance while sharing the player's floor / while elsewhere
+# (orcs patrol the deep floor only when the player is away; zombies and
+# the warden never wander)
+_WALK_P_SAME = jnp.array([0.3, 0.0, 0.2, 0.0, 0.0], jnp.float32)
+_WALK_P_AWAY = jnp.array([0.3, 0.0, 0.2, 0.25, 0.0], jnp.float32)
+# first-kill achievement id per mob type (a cow kill feeds you)
+_MOB_ACH_IDS = jnp.array(
+    [
+        _ACH["eat_cow"], _ACH["defeat_zombie"], _ACH["defeat_skeleton"],
+        _ACH["defeat_orc"], _ACH["defeat_warden"],
+    ]
+)
 
 # inventory slots
 INV = {
@@ -113,23 +150,10 @@ class ForagerState:
     sleeping: jax.Array
     inventory: jax.Array       # (NUM_INV,) int32
     achievements: jax.Array    # (NUM_ACHIEVEMENTS,) bool
-    cow_pos: jax.Array         # (N_COWS, 2)
-    cow_alive: jax.Array
-    cow_health: jax.Array
-    zombie_pos: jax.Array
-    zombie_level: jax.Array    # (N,) which map level each zombie is on
-    zombie_alive: jax.Array
-    zombie_health: jax.Array
-    skel_pos: jax.Array
-    skel_level: jax.Array      # (N,) which dungeon floor each skeleton is on
-    skel_alive: jax.Array
-    skel_health: jax.Array
-    orc_pos: jax.Array         # (N_ORCS, 2) — orcs live on the deep floor
-    orc_alive: jax.Array
-    orc_health: jax.Array
-    warden_pos: jax.Array      # (2,) — the lone deep-floor boss
-    warden_alive: jax.Array
-    warden_health: jax.Array
+    mob_pos: jax.Array         # (N_MOBS, 2) padded coords; slots by type
+    mob_level: jax.Array       # (N_MOBS,) which floor each mob is on
+    mob_alive: jax.Array       # (N_MOBS,) bool
+    mob_health: jax.Array      # (N_MOBS,) int32
     time: jax.Array
     terminal: jax.Array
 
@@ -206,6 +230,34 @@ class Forager(Environment):
         warden_pos = warden_cands[warden_pick]
         warden_open = warden_cand_open[warden_pick]
 
+        mob_pos = jnp.concatenate(
+            [
+                cow_pos.astype(jnp.int32),
+                jnp.zeros((N_ZOMBIES, 2), jnp.int32),  # zombies spawn later
+                skel_pos.astype(jnp.int32),
+                orc_pos.astype(jnp.int32),
+                warden_pos.astype(jnp.int32)[None],
+            ]
+        )
+        mob_level = jnp.concatenate(
+            [
+                jnp.full(N_COWS, W.SURFACE, jnp.int32),
+                jnp.zeros(N_ZOMBIES, jnp.int32),
+                skel_level,
+                jnp.full(N_ORCS, W.DEEP, jnp.int32),
+                jnp.asarray([W.DEEP], jnp.int32),
+            ]
+        )
+        mob_alive = jnp.concatenate(
+            [
+                on_grass,
+                jnp.zeros(N_ZOMBIES, bool),
+                on_open_floor,
+                orc_open,
+                warden_open[None],
+            ]
+        )
+
         state = ForagerState(
             blocks=blocks,
             growth=jnp.zeros_like(blocks[W.SURFACE]),
@@ -224,23 +276,10 @@ class Forager(Environment):
             sleeping=jnp.asarray(False),
             inventory=jnp.zeros(NUM_INV, jnp.int32),
             achievements=jnp.zeros(NUM_ACHIEVEMENTS, bool),
-            cow_pos=cow_pos.astype(jnp.int32),
-            cow_alive=on_grass,
-            cow_health=jnp.full(N_COWS, 3, jnp.int32),
-            zombie_pos=jnp.zeros((N_ZOMBIES, 2), jnp.int32),
-            zombie_level=jnp.zeros(N_ZOMBIES, jnp.int32),
-            zombie_alive=jnp.zeros(N_ZOMBIES, bool),
-            zombie_health=jnp.full(N_ZOMBIES, 5, jnp.int32),
-            skel_pos=skel_pos.astype(jnp.int32),
-            skel_level=skel_level,
-            skel_alive=on_open_floor,
-            skel_health=jnp.full(N_SKELETONS, 3, jnp.int32),
-            orc_pos=orc_pos.astype(jnp.int32),
-            orc_alive=orc_open,
-            orc_health=jnp.full(N_ORCS, 8, jnp.int32),
-            warden_pos=warden_pos.astype(jnp.int32),
-            warden_alive=warden_open,
-            warden_health=jnp.asarray(20, jnp.int32),
+            mob_pos=mob_pos,
+            mob_level=mob_level,
+            mob_alive=mob_alive,
+            mob_health=_SPAWN_HEALTH[MOB_TYPE],
             time=jnp.asarray(0, jnp.int32),
             terminal=jnp.asarray(False),
         )
@@ -248,9 +287,7 @@ class Forager(Environment):
 
     # ------------------------------------------------------------------
     def step_env(self, key, state, action, params):
-        k_do, k_cow, k_zspawn, k_zmove, k_skel, k_orc = jax.random.split(
-            key, 6
-        )
+        k_do, k_zspawn, k_mob = jax.random.split(key, 3)
         old_health = state.health
         ach = state.achievements
         inv = state.inventory
@@ -277,31 +314,14 @@ class Forager(Environment):
         ty, tx = tgt[0], tgt[1]
         tblock = blocks[lvl, ty, tx]
 
-        # ---- mob lookups at the target tile --------------------------
-        def at_tgt(mob_pos, mob_alive):
-            return jnp.logical_and(
-                mob_alive,
-                jnp.logical_and(mob_pos[:, 0] == ty, mob_pos[:, 1] == tx),
-            )
-
-        cow_here = at_tgt(state.cow_pos, state.cow_alive) & (lvl == W.SURFACE)
-        zom_here = at_tgt(state.zombie_pos, state.zombie_alive) & (
-            state.zombie_level == lvl
+        # ---- mob lookup at the target tile: one batched compare -------
+        here = (
+            state.mob_alive
+            & (state.mob_level == lvl)
+            & (state.mob_pos[:, 0] == ty)
+            & (state.mob_pos[:, 1] == tx)
         )
-        skel_here = at_tgt(state.skel_pos, state.skel_alive) & (
-            state.skel_level == lvl
-        )
-        orc_here = at_tgt(state.orc_pos, state.orc_alive) & (lvl == W.DEEP)
-        warden_here = (
-            state.warden_alive
-            & (lvl == W.DEEP)
-            & (state.warden_pos[0] == ty)
-            & (state.warden_pos[1] == tx)
-        )
-        any_mob = (
-            cow_here.any() | zom_here.any() | skel_here.any()
-            | orc_here.any() | warden_here
-        )
+        any_mob = here.any()
 
         # ---- DO action ----------------------------------------------
         do = jnp.logical_and(action == A_DO, jnp.logical_not(sleeping))
@@ -311,39 +331,16 @@ class Forager(Environment):
         )  # damage 1..11
 
         # combat (mob on target tile takes priority over the block)
-        def hit(mob_health, here, damage):
-            return jnp.where(here & do, mob_health - damage, mob_health)
-
-        cow_health = hit(state.cow_health, cow_here, sword)
-        zombie_health = hit(state.zombie_health, zom_here, sword)
-        skel_health = hit(state.skel_health, skel_here, sword)
-        orc_health = hit(state.orc_health, orc_here, sword)
-        warden_health = hit(state.warden_health, warden_here, sword)
-        cow_killed = jnp.logical_and(cow_here & do, cow_health <= 0)
-        zom_killed = jnp.logical_and(zom_here & do, zombie_health <= 0)
-        skel_killed = jnp.logical_and(skel_here & do, skel_health <= 0)
-        orc_killed = jnp.logical_and(orc_here & do, orc_health <= 0)
-        warden_killed = jnp.logical_and(warden_here & do, warden_health <= 0)
-        cow_alive = jnp.logical_and(state.cow_alive, ~cow_killed)
-        zombie_alive = jnp.logical_and(state.zombie_alive, ~zom_killed)
-        skel_alive = jnp.logical_and(state.skel_alive, ~skel_killed)
-        orc_alive = jnp.logical_and(state.orc_alive, ~orc_killed)
-        warden_alive = jnp.logical_and(state.warden_alive, ~warden_killed)
-
-        food = jnp.where(cow_killed.any(), jnp.minimum(state.food + 6, 9), state.food)
-        ach = ach.at[_ACH["eat_cow"]].set(ach[_ACH["eat_cow"]] | cow_killed.any())
-        ach = ach.at[_ACH["defeat_zombie"]].set(
-            ach[_ACH["defeat_zombie"]] | zom_killed.any()
+        mob_health = jnp.where(
+            here & do, state.mob_health - sword, state.mob_health
         )
-        ach = ach.at[_ACH["defeat_skeleton"]].set(
-            ach[_ACH["defeat_skeleton"]] | skel_killed.any()
+        melee_killed = here & do & (mob_health <= 0)
+        mob_alive = state.mob_alive & ~melee_killed
+        killed_type = (melee_killed[:, None] & _TYPE_ONEHOT).any(0)
+        food = jnp.where(
+            killed_type[MOB_COW], jnp.minimum(state.food + 6, 9), state.food
         )
-        ach = ach.at[_ACH["defeat_orc"]].set(
-            ach[_ACH["defeat_orc"]] | orc_killed.any()
-        )
-        ach = ach.at[_ACH["defeat_warden"]].set(
-            ach[_ACH["defeat_warden"]] | warden_killed
-        )
+        ach = ach.at[_MOB_ACH_IDS].set(ach[_MOB_ACH_IDS] | killed_type)
 
         do_block = jnp.logical_and(do, jnp.logical_not(any_mob))
 
@@ -524,63 +521,28 @@ class Forager(Environment):
             [jnp.array([True]), jnp.cumprod(ray_free[:-1]).astype(bool)]
         )
 
-        def ray_hits(mob_pos, alive):
-            # (M, R) — mob sits on ray tile i with line-of-sight
-            on_ray = (
-                alive[:, None]
-                & (mob_pos[:, 0, None] == ray[None, :, 0])
-                & (mob_pos[:, 1, None] == ray[None, :, 1])
-                & clear[None, :]
-            )
-            # distance of each mob along the ray (R+1 if not on it)
-            d = jnp.where(on_ray, ray_d[None, :], ARROW_RANGE + 1).min(axis=1)
-            return d
-
-        zd = ray_hits(state.zombie_pos,
-                      zombie_alive & (state.zombie_level == lvl))
-        sd = ray_hits(state.skel_pos, skel_alive & (state.skel_level == lvl))
-        od = ray_hits(state.orc_pos, orc_alive & (lvl == W.DEEP))
-        cd = ray_hits(state.cow_pos, cow_alive & (lvl == W.SURFACE))
-        wd = ray_hits(state.warden_pos[None, :],
-                      warden_alive[None] & (lvl == W.DEEP))
-        nearest = jnp.minimum(
-            jnp.minimum(jnp.minimum(zd.min(), sd.min()),
-                        jnp.minimum(od.min(), cd.min())),
-            wd.min(),
+        # one (N_MOBS, R) compare finds every mob on the ray with LOS
+        on_ray = (
+            (mob_alive & (state.mob_level == lvl))[:, None]
+            & (state.mob_pos[:, 0, None] == ray[None, :, 0])
+            & (state.mob_pos[:, 1, None] == ray[None, :, 1])
+            & clear[None, :]
         )
+        # distance of each mob along the ray (R+1 if not on it)
+        rd = jnp.where(on_ray, ray_d[None, :], ARROW_RANGE + 1).min(axis=1)
+        nearest = rd.min()
         arrow_lands = shoot & (nearest <= ARROW_RANGE)
-
-        def ray_damage(health, d):
-            return jnp.where(
-                arrow_lands & (d == nearest), health - ARROW_DAMAGE, health
-            )
-
-        zombie_health = ray_damage(zombie_health, zd)
-        skel_health = ray_damage(skel_health, sd)
-        orc_health = ray_damage(orc_health, od)
-        cow_health = ray_damage(cow_health, cd)
-        warden_health = ray_damage(warden_health, wd[0])
+        struck = arrow_lands & (rd == nearest)
+        mob_health = jnp.where(struck, mob_health - ARROW_DAMAGE, mob_health)
         inv = jnp.where(shoot, inv.at[INV["arrow"]].add(-1), inv)
         ach = ach.at[_ACH["fire_bow"]].set(ach[_ACH["fire_bow"]] | shoot)
 
         # arrow kills (cows shot at range still feed you)
-        z_shot = arrow_lands & (zombie_health <= 0) & zombie_alive
-        s_shot = arrow_lands & (skel_health <= 0) & skel_alive
-        o_shot = arrow_lands & (orc_health <= 0) & orc_alive
-        c_shot = arrow_lands & (cow_health <= 0) & cow_alive
-        w_shot = arrow_lands & (warden_health <= 0) & warden_alive
-        zombie_alive = zombie_alive & ~z_shot
-        skel_alive = skel_alive & ~s_shot
-        orc_alive = orc_alive & ~o_shot
-        cow_alive = cow_alive & ~c_shot
-        warden_alive = warden_alive & ~w_shot
-        food = jnp.where(c_shot.any(), jnp.minimum(food + 6, 9), food)
-        for cond, name in [
-            (z_shot.any(), "defeat_zombie"), (s_shot.any(), "defeat_skeleton"),
-            (o_shot.any(), "defeat_orc"), (w_shot.any(), "defeat_warden"),
-            (c_shot.any(), "eat_cow"),
-        ]:
-            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | cond)
+        shot = struck & (mob_health <= 0) & mob_alive
+        mob_alive = mob_alive & ~shot
+        shot_type = (shot[:, None] & _TYPE_ONEHOT).any(0)
+        food = jnp.where(shot_type[MOB_COW], jnp.minimum(food + 6, 9), food)
+        ach = ach.at[_MOB_ACH_IDS].set(ach[_MOB_ACH_IDS] | shot_type)
 
         # ---- plant growth (surface only) ----------------------------
         surface = blocks[W.SURFACE]
@@ -629,121 +591,84 @@ class Forager(Environment):
         regen_tick = jnp.where(regen_tick >= 30, 0, regen_tick)
 
         # ---- mob behavior -------------------------------------------
-        def random_walk(k, mob_pos, alive, p, mob_lvl):
-            ks = jax.random.split(k, 2)
-            dirs = jax.random.randint(ks[0], (mob_pos.shape[0],), 0, 4)
-            move = jax.random.uniform(ks[1], (mob_pos.shape[0],)) < p
-            step = _DIRS[dirs]
-            cand = jnp.clip(mob_pos + step, W.PAD, W.PAD + W.WORLD_SIZE - 1)
-            ok = _WALKABLE[blocks[mob_lvl, cand[:, 0], cand[:, 1]]] & move & alive
-            return jnp.where(ok[:, None], cand, mob_pos)
-
-        cow_pos = random_walk(k_cow, state.cow_pos, cow_alive, 0.3, W.SURFACE)
-
-        # zombies: spawn at night near the player, despawn at day
+        # zombies: spawn at night near the player (the dungeon is always
+        # dangerous), despawn on the surface at dawn. Zombie slots are a
+        # STATIC slice of the mob table, so this stays a cheap
+        # fixed-index update, not a scatter.
         zk1, zk2 = jax.random.split(k_zspawn)
         spawn_offsets = jax.random.randint(zk1, (N_ZOMBIES, 2), -8, 9)
         far_enough = jnp.abs(spawn_offsets).sum(axis=1) >= 5
         spawn_pos = jnp.clip(pos + spawn_offsets, W.PAD, W.PAD + W.WORLD_SIZE - 1)
+        z_alive = mob_alive[ZOMBIES]
         spawn_ok = (
-            (is_night | (lvl != W.SURFACE))  # the dungeon is always dangerous
-            & ~zombie_alive
+            (is_night | (lvl != W.SURFACE))
+            & ~z_alive
             & far_enough
             & (jax.random.uniform(zk2, (N_ZOMBIES,)) < 0.05)
             & _WALKABLE[blocks[lvl, spawn_pos[:, 0], spawn_pos[:, 1]]]
         )
-        zombie_pos = jnp.where(spawn_ok[:, None], spawn_pos, state.zombie_pos)
-        zombie_level = jnp.where(spawn_ok, lvl, state.zombie_level)
-        zombie_alive = zombie_alive | spawn_ok
-        zombie_health = jnp.where(spawn_ok, 5, zombie_health)
+        mob_pos = state.mob_pos.at[ZOMBIES].set(
+            jnp.where(spawn_ok[:, None], spawn_pos, state.mob_pos[ZOMBIES])
+        )
+        mob_level = state.mob_level.at[ZOMBIES].set(
+            jnp.where(spawn_ok, lvl, state.mob_level[ZOMBIES])
+        )
+        mob_health = mob_health.at[ZOMBIES].set(
+            jnp.where(spawn_ok, 5, mob_health[ZOMBIES])
+        )
         # surface zombies despawn at dawn; dungeon zombies persist
-        zombie_alive = jnp.logical_and(
-            zombie_alive, is_night | (zombie_level != W.SURFACE)
+        mob_alive = mob_alive.at[ZOMBIES].set(
+            (z_alive | spawn_ok) & (is_night | (mob_level[ZOMBIES] != W.SURFACE))
         )
 
-        # zombies chase
-        delta = pos[None, :] - zombie_pos
-        step_y = jnp.sign(delta[:, 0])
-        step_x = jnp.sign(delta[:, 1])
+        # ONE batched movement pass for every species: each mob draws a
+        # chase step toward the player (taken with its type's chase prob
+        # while on the player's floor) or a random-walk step (its type's
+        # wander prob), gated by walkability on its own floor.
+        km1, km2, km3 = jax.random.split(k_mob, 3)
+        same_lvl = mob_level == lvl
+        dirs = jax.random.randint(km1, (N_MOBS,), 0, 4)
+        delta = pos[None, :] - mob_pos
         go_y = jnp.abs(delta[:, 0]) >= jnp.abs(delta[:, 1])
         chase = jnp.stack(
-            [jnp.where(go_y, step_y, 0), jnp.where(go_y, 0, step_x)], axis=1
+            [
+                jnp.where(go_y, jnp.sign(delta[:, 0]), 0),
+                jnp.where(go_y, 0, jnp.sign(delta[:, 1])),
+            ],
+            axis=1,
         ).astype(jnp.int32)
-        zcand = jnp.clip(zombie_pos + chase, W.PAD, W.PAD + W.WORLD_SIZE - 1)
-        zmove = jax.random.uniform(k_zmove, (N_ZOMBIES,)) < 0.7
-        zok = (
-            _WALKABLE[blocks[zombie_level, zcand[:, 0], zcand[:, 1]]]
-            & zmove
-            & zombie_alive
-            & (zombie_level == lvl)  # chase only on the player's level
+        wants_chase = same_lvl & (
+            jax.random.uniform(km2, (N_MOBS,)) < _CHASE_P[MOB_TYPE]
         )
-        zombie_pos = jnp.where(zok[:, None], zcand, zombie_pos)
-
-        skel_pos = random_walk(
-            k_skel, state.skel_pos, skel_alive, 0.2, state.skel_level
+        walk_p = jnp.where(
+            same_lvl, _WALK_P_SAME[MOB_TYPE], _WALK_P_AWAY[MOB_TYPE]
         )
-
-        # orcs chase on the deep floor (random-walk when the player is
-        # elsewhere); the warden chases relentlessly once the player is
-        # on its floor
-        ko1, ko2 = jax.random.split(k_orc)
-        on_deep = lvl == W.DEEP
-
-        def chase_step(mob_pos):
-            delta_m = pos[None, :] - mob_pos
-            sy = jnp.sign(delta_m[:, 0])
-            sx = jnp.sign(delta_m[:, 1])
-            gy = jnp.abs(delta_m[:, 0]) >= jnp.abs(delta_m[:, 1])
-            return jnp.stack(
-                [jnp.where(gy, sy, 0), jnp.where(gy, 0, sx)], axis=1
-            ).astype(jnp.int32)
-
-        orc_rand = random_walk(ko1, state.orc_pos, orc_alive, 0.25, W.DEEP)
-        ocand = jnp.clip(
-            state.orc_pos + chase_step(state.orc_pos),
-            W.PAD, W.PAD + W.WORLD_SIZE - 1,
+        wants_walk = jax.random.uniform(km3, (N_MOBS,)) < walk_p
+        cand = jnp.clip(
+            mob_pos
+            + jnp.where(
+                wants_chase[:, None],
+                chase,
+                jnp.where(wants_walk[:, None], _DIRS[dirs], 0),
+            ),
+            W.PAD,
+            W.PAD + W.WORLD_SIZE - 1,
         )
-        o_ok = (
-            _WALKABLE[blocks[W.DEEP, ocand[:, 0], ocand[:, 1]]]
-            & (jax.random.uniform(ko2, (N_ORCS,)) < 0.6)
-            & orc_alive
-            & on_deep
+        move_ok = (
+            _WALKABLE[blocks[mob_level, cand[:, 0], cand[:, 1]]]
+            & mob_alive
+            & (wants_chase | wants_walk)
         )
-        orc_pos = jnp.where(
-            o_ok[:, None], ocand, jnp.where(on_deep, state.orc_pos, orc_rand)
-        )
-
-        wcand = jnp.clip(
-            state.warden_pos + chase_step(state.warden_pos[None, :])[0],
-            W.PAD, W.PAD + W.WORLD_SIZE - 1,
-        )
-        w_ok = (
-            _WALKABLE[blocks[W.DEEP, wcand[0], wcand[1]]]
-            & warden_alive
-            & on_deep
-        )
-        warden_pos = jnp.where(w_ok, wcand, state.warden_pos)
+        mob_pos = jnp.where(move_ok[:, None], cand, mob_pos)
 
         # mob melee damage (adjacent, every other step; worse when
-        # asleep; deep-floor mobs hit harder: orc 2, warden 3)
-        def adjacent(mob_pos, alive):
-            d = jnp.abs(mob_pos - pos[None, :]).sum(axis=1)
-            return jnp.logical_and(alive, d <= 1)
-
-        z_adj = adjacent(
-            zombie_pos, zombie_alive & (zombie_level == lvl)
-        ).any()
-        s_adj = adjacent(
-            skel_pos, skel_alive & (state.skel_level == lvl)
-        ).any()
-        o_adj = adjacent(orc_pos, orc_alive & on_deep).any()
-        w_adj = adjacent(warden_pos[None, :], warden_alive[None] & on_deep).any()
-        base_dmg = jnp.maximum(
-            jnp.maximum(
-                jnp.where(z_adj | s_adj, 1, 0), jnp.where(o_adj, 2, 0)
-            ),
-            jnp.where(w_adj, 3, 0),
+        # asleep; deep-floor mobs hit harder: orc 2, warden 3; cows 0)
+        adj = (
+            mob_alive
+            & (mob_level == lvl)
+            & (jnp.abs(mob_pos - pos[None, :]).sum(axis=1) <= 1)
         )
+        base_dmg = jnp.where(adj, _MELEE_DMG[MOB_TYPE], 0).max()
         dmg = jnp.where(
             (base_dmg > 0) & (t % 2 == 0),
             base_dmg + sleeping.astype(jnp.int32),
@@ -765,14 +690,8 @@ class Forager(Environment):
             hunger=hunger, thirst=thirst, fatigue=fatigue,
             decay_tick=decay_tick, regen_tick=regen_tick,
             sleeping=sleeping, inventory=inv, achievements=ach,
-            cow_pos=cow_pos, cow_alive=cow_alive, cow_health=cow_health,
-            zombie_pos=zombie_pos, zombie_level=zombie_level,
-            zombie_alive=zombie_alive, zombie_health=zombie_health,
-            skel_pos=skel_pos, skel_level=state.skel_level,
-            skel_alive=skel_alive, skel_health=skel_health,
-            orc_pos=orc_pos, orc_alive=orc_alive, orc_health=orc_health,
-            warden_pos=warden_pos, warden_alive=warden_alive,
-            warden_health=warden_health,
+            mob_pos=mob_pos, mob_level=mob_level,
+            mob_alive=mob_alive, mob_health=mob_health,
             time=t, terminal=terminal,
         )
         done = self.is_terminal(new_state, params)
@@ -806,44 +725,24 @@ class Forager(Environment):
         ]
         block_onehot = jax.nn.one_hot(window, W.NUM_BLOCK_TYPES)
 
-        def mob_channel(mob_pos, alive):
-            # Dense compare instead of a scatter-max: (M, V, V) broadcasting
-            # compares reduce over the mob axis — scatters are the one op
-            # class the TPU serializes, and this runs entirely on the VPU.
-            rel = mob_pos - state.pos[None, :] + half
-            ys = jnp.arange(VIEW)
-            hit = (
-                alive[:, None, None]
-                & (rel[:, 0, None, None] == ys[None, :, None])
-                & (rel[:, 1, None, None] == ys[None, None, :])
-            )
-            return hit.any(axis=0).astype(jnp.float32)
-
-        mobs = jnp.stack(
-            [
-                mob_channel(
-                    state.cow_pos,
-                    state.cow_alive & (state.level == W.SURFACE),
-                ),
-                mob_channel(
-                    state.zombie_pos,
-                    state.zombie_alive & (state.zombie_level == state.level),
-                ),
-                mob_channel(
-                    state.skel_pos,
-                    state.skel_alive & (state.skel_level == state.level),
-                ),
-                mob_channel(
-                    state.orc_pos,
-                    state.orc_alive & (state.level == W.DEEP),
-                ),
-                mob_channel(
-                    state.warden_pos[None, :],
-                    state.warden_alive[None] & (state.level == W.DEEP),
-                ),
-            ],
-            axis=-1,
-        )
+        # Dense compare instead of a scatter-max: (N_MOBS, V, V)
+        # broadcasting compares reduce over the mob axis — scatters are
+        # the one op class the TPU serializes, and this runs entirely on
+        # the VPU. One pass covers all five species; the per-type
+        # channels fall out of a static type-onehot mask.
+        rel = state.mob_pos - state.pos[None, :] + half
+        vis = state.mob_alive & (state.mob_level == state.level)
+        ys = jnp.arange(VIEW)
+        hit = (
+            vis[:, None, None]
+            & (rel[:, 0, None, None] == ys[None, :, None])
+            & (rel[:, 1, None, None] == ys[None, None, :])
+        )  # (N_MOBS, V, V)
+        mobs = (
+            (hit[:, :, :, None] & _TYPE_ONEHOT[:, None, None, :])
+            .any(axis=0)
+            .astype(jnp.float32)
+        )  # (V, V, NUM_MOB_TYPES)
         grid = jnp.concatenate([block_onehot, mobs], axis=-1).reshape(-1)
 
         day_frac = (state.time % params.day_length) / params.day_length

@@ -207,7 +207,7 @@ def test_deep_floor_descent_ruby_and_skeletons():
     assert int(state.level) == W.CAVE
 
     # skeletons are assigned to both dungeon floors
-    lvls = np.asarray(state.skel_level)
+    lvls = np.asarray(state.mob_level)[F.SKELS]
     assert (lvls == W.CAVE).any() and (lvls == W.DEEP).any()
 
 
@@ -324,30 +324,31 @@ def test_tier2_bow_and_arrow():
     b = state.blocks
     for (yy, xx) in ray:
         b = b.at[W.SURFACE, yy, xx].set(W.GRASS)
+    z0 = F.ZOMBIES.start  # first zombie slot in the mob table
     state = state.replace(
         blocks=b,
-        zombie_pos=state.zombie_pos.at[0].set(jnp.asarray([py + 3, px])),
-        zombie_alive=state.zombie_alive.at[0].set(True),
-        zombie_level=state.zombie_level.at[0].set(W.SURFACE),
-        zombie_health=state.zombie_health.at[0].set(F.ARROW_DAMAGE),
+        mob_pos=state.mob_pos.at[z0].set(jnp.asarray([py + 3, px])),
+        mob_alive=state.mob_alive.at[z0].set(True),
+        mob_level=state.mob_level.at[z0].set(W.SURFACE),
+        mob_health=state.mob_health.at[z0].set(F.ARROW_DAMAGE),
     )
     _, s2, _, _, _ = env.step(
         jax.random.PRNGKey(10), state, jnp.asarray(F.A_SHOOT), params
     )
     assert int(s2.inventory[F.INV["arrow"]]) == F.ARROWS_PER_CRAFT - 1
     assert bool(s2.achievements[F._ACH["fire_bow"]])
-    assert not bool(s2.zombie_alive[0]), "arrow should kill the zombie"
+    assert not bool(s2.mob_alive[z0]), "arrow should kill the zombie"
     assert bool(s2.achievements[F._ACH["defeat_zombie"]])
 
     # a wall blocks line-of-sight
     state = state.replace(
         blocks=state.blocks.at[W.SURFACE, py + 1, px].set(W.STONE),
-        zombie_health=state.zombie_health.at[0].set(F.ARROW_DAMAGE),
+        mob_health=state.mob_health.at[z0].set(F.ARROW_DAMAGE),
     )
     _, s3, _, _, _ = env.step(
         jax.random.PRNGKey(11), state, jnp.asarray(F.A_SHOOT), params
     )
-    assert bool(s3.zombie_alive[0]), "wall should block the arrow"
+    assert bool(s3.mob_alive[z0]), "wall should block the arrow"
 
 
 def test_tier2_orcs_and_warden():
@@ -357,28 +358,30 @@ def test_tier2_orcs_and_warden():
 
     env, params = make("Forager-v0")
     obs, state = env.reset(jax.random.PRNGKey(12), params)
-    assert bool(state.warden_alive)
-    assert int(np.asarray(state.orc_alive).sum()) >= 3, "orc spawns should be robust"
+    assert bool(state.mob_alive[F.WARDEN])
+    assert (
+        int(np.asarray(state.mob_alive)[F.ORCS].sum()) >= 3
+    ), "orc spawns should be robust"
 
     # put the player on deep next to a nearly-dead warden (bare-fist
     # damage is 1)
-    wy, wx = int(state.warden_pos[0]), int(state.warden_pos[1])
+    wy, wx = int(state.mob_pos[F.WARDEN, 0]), int(state.mob_pos[F.WARDEN, 1])
     state = state.replace(
         level=jnp.asarray(W.DEEP, jnp.int32),
         pos=jnp.asarray([wy + 1, wx], jnp.int32),
         facing=jnp.asarray(0),
-        warden_health=jnp.asarray(1, jnp.int32),
+        mob_health=state.mob_health.at[F.WARDEN].set(1),
     )
     _, s2, r, _, _ = env.step(
         jax.random.PRNGKey(13), state, jnp.asarray(F.A_DO), params
     )
-    assert not bool(s2.warden_alive)
+    assert not bool(s2.mob_alive[F.WARDEN])
     assert bool(s2.achievements[F._ACH["defeat_warden"]])
     assert float(r) >= 1.0
 
     # adjacent live warden deals 3 damage on even ticks
     state = state.replace(
-        warden_health=jnp.asarray(20, jnp.int32),
+        mob_health=state.mob_health.at[F.WARDEN].set(20),
         time=jnp.asarray(1, jnp.int32),  # next step has t % 2 == 0
     )
     _, s3, _, _, _ = env.step(
