@@ -7,20 +7,25 @@ the reference trains on (`ENV_NAME: Craftax-Symbolic-v1`,
 generated worlds (expensive resets -> pairs with OptimisticResetVecEnv),
 resource gathering gated by tool tiers, crafting at stations, hunger /
 thirst / energy / health survival dynamics, day-night cycles with hostile
-mobs, a multi-floor dungeon (craftax-style vertical depth: aligned ladder
-pairs descend surface -> cave -> deep, each floor with richer ore veins,
-more lava, and tougher mobs than the one above; ruby and sapphire spawn
-only on the deep floor, which orcs patrol and a lone high-health WARDEN
-boss guards), a diamond tool tier above iron, bow-and-arrow ranged
-combat (craftax's bow: craft at a table, fire down the facing ray, first
-mob in line-of-sight takes heavy damage), and a 33-achievement reward
-structure (+1 on each first-time achievement per episode, +-0.1 per
-health point gained/lost).
+mobs, a four-floor dungeon (craftax-style vertical depth: aligned ladder
+pairs descend surface -> cave -> deep -> hell, each floor with richer ore
+veins, more lava, and tougher mobs than the one above; ruby and sapphire
+spawn only on the deep floor, which orcs patrol and a lone high-health
+WARDEN boss guards; the hell floor is obsidian and lava seas where demons
+prowl and the NECROMANCER final boss waits), a diamond tool tier above
+iron, bow-and-arrow ranged combat (craftax's bow: craft at a table, fire
+down the facing ray, first mob in line-of-sight takes heavy damage), loot
+chests holding potions whose color -> effect mapping is re-permuted every
+episode (craftax's potion-experimentation mechanic), a mana-fueled
+fireball spell unlocked by a spellbook chest drop (craftax's magic
+system), and a 41-achievement reward structure (+1 on each first-time
+achievement per episode, +-0.1 per health point gained/lost).
 
 Observations are symbolic (craftax-symbolic-style): a flattened float32
-vector of a 9x9 one-hot local block/mob view plus inventory, needs,
-facing, time-of-day and sleep state. 22 discrete actions
-(noop, 4 moves, do, sleep, 4 places, 10 crafts, shoot).
+vector of a 9x9 one-hot local block/mob view plus inventory, needs + mana,
+facing, time-of-day and sleep state. 26 discrete actions (noop, 4 moves,
+do, sleep, 4 places, 10 crafts, shoot, 3 drinks, cast). The potion
+permutation is hidden state the agent cannot observe — only taste.
 
 Everything is branchless jnp.where logic over static-shape arrays: the
 whole step is a handful of fused gather/compare ops, and worlds vmap to
@@ -46,7 +51,9 @@ ACHIEVEMENTS = [
     "make_iron_pickaxe", "make_iron_sword", "collect_diamond", "enter_cave",
     "enter_deep", "collect_ruby", "collect_sapphire",
     "make_diamond_pickaxe", "make_diamond_sword", "make_bow", "make_arrow",
-    "fire_bow", "defeat_orc", "defeat_warden",
+    "fire_bow", "defeat_orc", "defeat_warden", "enter_hell",
+    "collect_obsidian", "open_chest", "drink_potion", "learn_spell",
+    "cast_spell", "defeat_demon", "defeat_necromancer",
 ]
 NUM_ACHIEVEMENTS = len(ACHIEVEMENTS)
 _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
@@ -58,38 +65,46 @@ _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
 # mobs instead of five small per-species op chains. On TPU the per-op
 # dispatch of tiny (8,)-shaped ops dominates an env step at 1024 envs;
 # one (29,)-shaped op chain is ~5x fewer ops for the same work.
-MOB_COW, MOB_ZOMBIE, MOB_SKEL, MOB_ORC, MOB_WARDEN = range(5)
-NUM_MOB_TYPES = 5
+(
+    MOB_COW, MOB_ZOMBIE, MOB_SKEL, MOB_ORC, MOB_WARDEN, MOB_DEMON,
+    MOB_NECRO,
+) = range(7)
+NUM_MOB_TYPES = 7
 N_COWS = 8
 N_ZOMBIES = 8   # spawn at night near the player / anywhere in the dungeon
 N_SKELETONS = 8  # haunt the cave and deep floors (level per skeleton)
 N_ORCS = 4       # tier-2 melee mobs patrolling the deep floor
+N_DEMONS = 4     # tier-3 mobs prowling the hell floor
 COWS = slice(0, 8)      # slot layout is static: per-type logic (zombie
 ZOMBIES = slice(8, 16)  # spawning) uses static slices, everything else
 SKELS = slice(16, 24)   # is type-indexed through MOB_TYPE
 ORCS = slice(24, 28)
 WARDEN = 28             # the lone deep-floor boss
-N_MOBS = 29
+DEMONS = slice(29, 33)
+NECRO = 33              # the necromancer: the hell-floor final boss
+N_MOBS = 34
 MOB_TYPE = jnp.array(
     [MOB_COW] * N_COWS + [MOB_ZOMBIE] * N_ZOMBIES + [MOB_SKEL] * N_SKELETONS
-    + [MOB_ORC] * N_ORCS + [MOB_WARDEN]
+    + [MOB_ORC] * N_ORCS + [MOB_WARDEN] + [MOB_DEMON] * N_DEMONS
+    + [MOB_NECRO]
 )
 _TYPE_ONEHOT = MOB_TYPE[:, None] == jnp.arange(NUM_MOB_TYPES)[None, :]
-_SPAWN_HEALTH = jnp.array([3, 5, 3, 8, 20], jnp.int32)
-_MELEE_DMG = jnp.array([0, 1, 1, 2, 3], jnp.int32)
+_SPAWN_HEALTH = jnp.array([3, 5, 3, 8, 20, 10, 30], jnp.int32)
+_MELEE_DMG = jnp.array([0, 1, 1, 2, 3, 3, 4], jnp.int32)
 # chance per step of taking a chase step toward the player (only while on
-# the player's floor); the warden chases relentlessly
-_CHASE_P = jnp.array([0.0, 0.7, 0.0, 0.6, 1.0], jnp.float32)
+# the player's floor); the warden and necromancer chase relentlessly
+_CHASE_P = jnp.array([0.0, 0.7, 0.0, 0.6, 1.0, 0.8, 1.0], jnp.float32)
 # random-walk chance while sharing the player's floor / while elsewhere
-# (orcs patrol the deep floor only when the player is away; zombies and
-# the warden never wander)
-_WALK_P_SAME = jnp.array([0.3, 0.0, 0.2, 0.0, 0.0], jnp.float32)
-_WALK_P_AWAY = jnp.array([0.3, 0.0, 0.2, 0.25, 0.0], jnp.float32)
+# (orcs and demons patrol their floor only when the player is away;
+# zombies and the bosses never wander)
+_WALK_P_SAME = jnp.array([0.3, 0.0, 0.2, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+_WALK_P_AWAY = jnp.array([0.3, 0.0, 0.2, 0.25, 0.0, 0.25, 0.0], jnp.float32)
 # first-kill achievement id per mob type (a cow kill feeds you)
 _MOB_ACH_IDS = jnp.array(
     [
         _ACH["eat_cow"], _ACH["defeat_zombie"], _ACH["defeat_skeleton"],
-        _ACH["defeat_orc"], _ACH["defeat_warden"],
+        _ACH["defeat_orc"], _ACH["defeat_warden"], _ACH["defeat_demon"],
+        _ACH["defeat_necromancer"],
     ]
 )
 
@@ -99,21 +114,38 @@ INV = {
     "wood_pickaxe": 6, "stone_pickaxe": 7, "iron_pickaxe": 8,
     "wood_sword": 9, "stone_sword": 10, "iron_sword": 11, "ruby": 12,
     "diamond_pickaxe": 13, "diamond_sword": 14, "bow": 15, "arrow": 16,
-    "sapphire": 17,
+    "sapphire": 17, "obsidian": 18,
+    # potion colors MUST stay consecutive (drink actions index off red)
+    "potion_red": 19, "potion_green": 20, "potion_blue": 21,
+    "spellbook": 22,
 }
-NUM_INV = 18
+NUM_INV = 23
 
 # actions
 A_NOOP, A_LEFT, A_RIGHT, A_UP, A_DOWN, A_DO, A_SLEEP = range(7)
 A_PLACE_STONE, A_PLACE_TABLE, A_PLACE_FURNACE, A_PLACE_PLANT = 7, 8, 9, 10
 A_MAKE_WP, A_MAKE_SP, A_MAKE_IP, A_MAKE_WS, A_MAKE_SS, A_MAKE_IS = range(11, 17)
 A_MAKE_DP, A_MAKE_DS, A_MAKE_BOW, A_MAKE_ARROW, A_SHOOT = range(17, 22)
-NUM_ACTIONS = 22
+A_DRINK_RED, A_DRINK_GREEN, A_DRINK_BLUE, A_CAST = range(22, 26)
+NUM_ACTIONS = 26
 
 ARROW_RANGE = 5   # tiles along the facing ray
 ARROW_DAMAGE = 3
 ARROWS_PER_CRAFT = 3
 MAX_ARROWS = 9
+
+# potions: each chest holds a random color; the color -> effect mapping is
+# PERMUTED PER EPISODE (craftax's potion mechanic: the agent must
+# experiment each life). Effect ids: 0 heal +4, 1 feast (+4 food +4
+# drink), 2 poison (-2 health).
+NUM_POTIONS = 3
+POTION_HEAL, POTION_FEAST, POTION_POISON = range(3)
+
+# magic: a spellbook (chest loot) unlocks the fireball spell — same ray as
+# the bow but heavier damage, paid in mana that trickles back over time
+SPELL_COST = 4
+SPELL_DAMAGE = 5
+MAX_MANA = 9
 
 # direction vectors: 0 up, 1 right, 2 down, 3 left (dy, dx)
 _DIRS = jnp.array([[-1, 0], [0, 1], [1, 0], [0, -1]])
@@ -126,8 +158,13 @@ _PLACEABLE = jnp.zeros(W.NUM_BLOCK_TYPES, bool).at[
 ].set(True)
 
 VIEW = 9  # local obs window
-# grid channels: one-hot blocks + 5 mob channels (cow/zombie/skel/orc/warden)
-OBS_DIM = VIEW * VIEW * (W.NUM_BLOCK_TYPES + 5) + NUM_INV + 4 + 4 + 2 + 1 + 1
+# grid channels: one-hot blocks + one channel per mob type; extras are
+# inventory, needs (health/food/drink/energy) + mana, facing one-hot,
+# time-of-day sin/cos, sleeping flag, floor depth
+OBS_DIM = (
+    VIEW * VIEW * (W.NUM_BLOCK_TYPES + NUM_MOB_TYPES)
+    + NUM_INV + 5 + 4 + 2 + 1 + 1
+)
 
 
 @struct.dataclass
@@ -148,6 +185,8 @@ class ForagerState:
     decay_tick: jax.Array
     regen_tick: jax.Array
     sleeping: jax.Array
+    mana: jax.Array            # int32 spell fuel, regenerates over time
+    potion_map: jax.Array      # (3,) per-episode color -> effect permutation
     inventory: jax.Array       # (NUM_INV,) int32
     achievements: jax.Array    # (NUM_ACHIEVEMENTS,) bool
     mob_pos: jax.Array         # (N_MOBS, 2) padded coords; slots by type
@@ -182,7 +221,10 @@ class Forager(Environment):
 
     # ------------------------------------------------------------------
     def reset_env(self, key, params):
-        k_world, k_cow, k_skel, k_orc, k_warden = jax.random.split(key, 5)
+        (
+            k_world, k_cow, k_skel, k_orc, k_warden, k_demon, k_necro,
+            k_potion,
+        ) = jax.random.split(key, 8)
         blocks = W.generate_world(k_world)
         c = W.PAD + W.WORLD_SIZE // 2
 
@@ -230,6 +272,30 @@ class Forager(Environment):
         warden_pos = warden_cands[warden_pick]
         warden_open = warden_cand_open[warden_pick]
 
+        # demons prowl the hell floor; the necromancer guards its depths
+        demon_cands = jax.random.randint(
+            k_demon, (N_DEMONS, 8, 2), W.PAD + 2, W.PAD + W.WORLD_SIZE - 2
+        )
+        demon_cand_open = (
+            blocks[W.HELL, demon_cands[..., 0], demon_cands[..., 1]] == W.PATH
+        )
+        demon_pick = jnp.argmax(demon_cand_open, axis=1)
+        demon_pos = jnp.take_along_axis(
+            demon_cands, demon_pick[:, None, None], axis=1
+        )[:, 0]
+        demon_open = jnp.take_along_axis(
+            demon_cand_open, demon_pick[:, None], axis=1
+        )[:, 0]
+        necro_cands = jax.random.randint(
+            k_necro, (8, 2), W.PAD + 4, W.PAD + W.WORLD_SIZE - 4
+        )
+        necro_cand_open = (
+            blocks[W.HELL, necro_cands[:, 0], necro_cands[:, 1]] == W.PATH
+        )
+        necro_pick = jnp.argmax(necro_cand_open)
+        necro_pos = necro_cands[necro_pick]
+        necro_open = necro_cand_open[necro_pick]
+
         mob_pos = jnp.concatenate(
             [
                 cow_pos.astype(jnp.int32),
@@ -237,6 +303,8 @@ class Forager(Environment):
                 skel_pos.astype(jnp.int32),
                 orc_pos.astype(jnp.int32),
                 warden_pos.astype(jnp.int32)[None],
+                demon_pos.astype(jnp.int32),
+                necro_pos.astype(jnp.int32)[None],
             ]
         )
         mob_level = jnp.concatenate(
@@ -246,6 +314,8 @@ class Forager(Environment):
                 skel_level,
                 jnp.full(N_ORCS, W.DEEP, jnp.int32),
                 jnp.asarray([W.DEEP], jnp.int32),
+                jnp.full(N_DEMONS, W.HELL, jnp.int32),
+                jnp.asarray([W.HELL], jnp.int32),
             ]
         )
         mob_alive = jnp.concatenate(
@@ -255,6 +325,8 @@ class Forager(Environment):
                 on_open_floor,
                 orc_open,
                 warden_open[None],
+                demon_open,
+                necro_open[None],
             ]
         )
 
@@ -274,6 +346,10 @@ class Forager(Environment):
             decay_tick=jnp.asarray(0, jnp.int32),
             regen_tick=jnp.asarray(0, jnp.int32),
             sleeping=jnp.asarray(False),
+            mana=jnp.asarray(0, jnp.int32),
+            potion_map=jax.random.permutation(k_potion, NUM_POTIONS).astype(
+                jnp.int32
+            ),
             inventory=jnp.zeros(NUM_INV, jnp.int32),
             achievements=jnp.zeros(NUM_ACHIEVEMENTS, bool),
             mob_pos=mob_pos,
@@ -352,9 +428,10 @@ class Forager(Environment):
         has_ip = inv[INV["iron_pickaxe"]] > 0
         has_dp = inv[INV["diamond_pickaxe"]] > 0
 
+        k_sap, k_chest = jax.random.split(k_do)
         got_wood = do_block & (tblock == W.TREE)
         got_drink = do_block & (tblock == W.WATER)
-        sap_roll = jax.random.uniform(k_do) < 0.1
+        sap_roll = jax.random.uniform(k_sap) < 0.1
         got_sapling = do_block & (tblock == W.GRASS) & sap_roll
         got_stone = do_block & (tblock == W.STONE) & has_wp
         got_coal = do_block & (tblock == W.COAL) & has_wp
@@ -362,6 +439,7 @@ class Forager(Environment):
         got_diamond = do_block & (tblock == W.DIAMOND) & has_ip
         got_ruby = do_block & (tblock == W.RUBY) & has_ip
         got_sapphire = do_block & (tblock == W.SAPPHIRE) & has_dp
+        got_obsidian = do_block & (tblock == W.OBSIDIAN) & has_dp
         ate_plant = do_block & (tblock == W.PLANT_RIPE)
         went_down = do_block & (tblock == W.LADDER_DOWN)
         went_up = do_block & (tblock == W.LADDER_UP)
@@ -372,6 +450,35 @@ class Forager(Environment):
         ach = ach.at[_ACH["enter_deep"]].set(
             ach[_ACH["enter_deep"]] | (went_down & (state.level == W.CAVE))
         )
+        ach = ach.at[_ACH["enter_hell"]].set(
+            ach[_ACH["enter_hell"]] | (went_down & (state.level == W.DEEP))
+        )
+
+        # loot chests: a random potion color, or (rarely) the spellbook
+        # that unlocks the fireball spell. One one-hot add, no scatter.
+        opened_chest = do_block & (tblock == W.CHEST)
+        chest_roll = jax.random.uniform(k_chest)
+        loot_color = jnp.minimum(
+            jnp.floor(chest_roll / 0.28).astype(jnp.int32), NUM_POTIONS
+        )  # 0/1/2 potion with p=.28 each, else (p=.16) the spellbook
+        loot_slot = jnp.where(
+            loot_color < NUM_POTIONS,
+            INV["potion_red"] + loot_color,
+            INV["spellbook"],
+        )
+        got_book = opened_chest & (loot_color == NUM_POTIONS)
+        inv = inv + jax.nn.one_hot(
+            loot_slot, NUM_INV, dtype=jnp.int32
+        ) * opened_chest
+        inv = inv.at[INV["spellbook"]].set(
+            jnp.minimum(inv[INV["spellbook"]], 1)  # the book doesn't stack
+        )
+        ach = ach.at[_ACH["open_chest"]].set(
+            ach[_ACH["open_chest"]] | opened_chest
+        )
+        ach = ach.at[_ACH["learn_spell"]].set(
+            ach[_ACH["learn_spell"]] | got_book
+        )
 
         inv = collect(got_wood, "wood")
         inv = collect(got_sapling, "sapling")
@@ -381,12 +488,13 @@ class Forager(Environment):
         inv = collect(got_diamond, "diamond")
         inv = collect(got_ruby, "ruby")
         inv = collect(got_sapphire, "sapphire")
+        inv = collect(got_obsidian, "obsidian")
         drink = jnp.where(got_drink, jnp.minimum(state.drink + 3, 9), state.drink)
         food = jnp.where(ate_plant, jnp.minimum(food + 4, 9), food)
 
         mined = (
             got_stone | got_coal | got_iron | got_diamond | got_ruby
-            | got_sapphire
+            | got_sapphire | got_obsidian | opened_chest
         )
 
         for cond, name in [
@@ -395,6 +503,7 @@ class Forager(Environment):
             (got_coal, "collect_coal"), (got_iron, "collect_iron"),
             (got_diamond, "collect_diamond"), (got_ruby, "collect_ruby"),
             (got_sapphire, "collect_sapphire"), (ate_plant, "eat_plant"),
+            (got_obsidian, "collect_obsidian"),
         ]:
             ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | cond)
 
@@ -502,17 +611,27 @@ class Forager(Environment):
         )
         ach = ach.at[_ACH["make_arrow"]].set(ach[_ACH["make_arrow"]] | arrow_ok)
 
-        # ---- SHOOT: bow fires down the facing ray --------------------
-        # The arrow flies up to ARROW_RANGE tiles and stops at the first
-        # non-walkable tile; the nearest mob with line-of-sight takes
-        # ARROW_DAMAGE. All comparisons are dense (no scatters): ray
-        # tiles are a 5-element gather, mob hits a broadcast compare.
+        # ---- SHOOT / CAST: projectiles down the facing ray -----------
+        # Arrows (bow + arrow in inventory) and fireballs (spellbook +
+        # mana) share one ray: it flies up to ARROW_RANGE tiles, stops at
+        # the first non-walkable tile, and the nearest mob with
+        # line-of-sight takes the projectile's damage. All comparisons
+        # are dense (no scatters): ray tiles are a 5-element gather, mob
+        # hits one (N_MOBS, R) broadcast compare.
         shoot = (
             (action == A_SHOOT)
             & jnp.logical_not(sleeping)
             & (inv[INV["bow"]] > 0)
             & (inv[INV["arrow"]] > 0)
         )
+        cast = (
+            (action == A_CAST)
+            & jnp.logical_not(sleeping)
+            & (inv[INV["spellbook"]] > 0)
+            & (state.mana >= SPELL_COST)
+        )
+        proj = shoot | cast
+        proj_damage = jnp.where(cast, SPELL_DAMAGE, ARROW_DAMAGE)
         ray_d = jnp.arange(1, ARROW_RANGE + 1)
         ray = pos[None, :] + ray_d[:, None] * _DIRS[facing][None, :]  # (R, 2)
         ray_free = _WALKABLE[blocks[lvl, ray[:, 0], ray[:, 1]]]
@@ -531,13 +650,14 @@ class Forager(Environment):
         # distance of each mob along the ray (R+1 if not on it)
         rd = jnp.where(on_ray, ray_d[None, :], ARROW_RANGE + 1).min(axis=1)
         nearest = rd.min()
-        arrow_lands = shoot & (nearest <= ARROW_RANGE)
-        struck = arrow_lands & (rd == nearest)
-        mob_health = jnp.where(struck, mob_health - ARROW_DAMAGE, mob_health)
+        proj_lands = proj & (nearest <= ARROW_RANGE)
+        struck = proj_lands & (rd == nearest)
+        mob_health = jnp.where(struck, mob_health - proj_damage, mob_health)
         inv = jnp.where(shoot, inv.at[INV["arrow"]].add(-1), inv)
         ach = ach.at[_ACH["fire_bow"]].set(ach[_ACH["fire_bow"]] | shoot)
+        ach = ach.at[_ACH["cast_spell"]].set(ach[_ACH["cast_spell"]] | cast)
 
-        # arrow kills (cows shot at range still feed you)
+        # projectile kills (cows shot at range still feed you)
         shot = struck & (mob_health <= 0) & mob_alive
         mob_alive = mob_alive & ~shot
         shot_type = (shot[:, None] & _TYPE_ONEHOT).any(0)
@@ -589,6 +709,42 @@ class Forager(Environment):
             (regen_tick >= 30) & (health < 9), health + 1, health
         )
         regen_tick = jnp.where(regen_tick >= 30, 0, regen_tick)
+
+        # ---- mana + potions -----------------------------------------
+        # casting spends mana; otherwise it trickles back every 4 steps
+        mana = jnp.where(
+            cast,
+            state.mana - SPELL_COST,
+            jnp.minimum(state.mana + ((t % 4) == 0), MAX_MANA),
+        )
+        # drinking a potion: the color -> effect mapping was permuted at
+        # reset (craftax's potion mechanic), so each life the agent must
+        # experiment to learn which color heals, feasts, or poisons
+        quaff_color = jnp.clip(action - A_DRINK_RED, 0, NUM_POTIONS - 1)
+        quaff = (
+            (action >= A_DRINK_RED)
+            & (action <= A_DRINK_BLUE)
+            & jnp.logical_not(sleeping)
+            & (inv[INV["potion_red"] + quaff_color] > 0)
+        )
+        inv = inv - jax.nn.one_hot(
+            INV["potion_red"] + quaff_color, NUM_INV, dtype=jnp.int32
+        ) * quaff
+        effect = state.potion_map[quaff_color]
+        health = jnp.where(
+            quaff & (effect == POTION_HEAL), jnp.minimum(health + 4, 9), health
+        )
+        food = jnp.where(
+            quaff & (effect == POTION_FEAST), jnp.minimum(food + 4, 9), food
+        )
+        drink = jnp.where(
+            quaff & (effect == POTION_FEAST), jnp.minimum(drink + 4, 9), drink
+        )
+        health = jnp.where(
+            quaff & (effect == POTION_POISON), jnp.maximum(health - 2, 0),
+            health,
+        )
+        ach = ach.at[_ACH["drink_potion"]].set(ach[_ACH["drink_potion"]] | quaff)
 
         # ---- mob behavior -------------------------------------------
         # zombies: spawn at night near the player (the dungeon is always
@@ -689,7 +845,8 @@ class Forager(Environment):
             health=health, food=food, drink=drink, energy=energy,
             hunger=hunger, thirst=thirst, fatigue=fatigue,
             decay_tick=decay_tick, regen_tick=regen_tick,
-            sleeping=sleeping, inventory=inv, achievements=ach,
+            sleeping=sleeping, mana=mana, potion_map=state.potion_map,
+            inventory=inv, achievements=ach,
             mob_pos=mob_pos, mob_level=mob_level,
             mob_alive=mob_alive, mob_health=mob_health,
             time=t, terminal=terminal,
@@ -755,6 +912,7 @@ class Forager(Environment):
                         state.food / 9.0,
                         state.drink / 9.0,
                         state.energy / 9.0,
+                        state.mana / MAX_MANA,
                     ]
                 ),
                 jax.nn.one_hot(state.facing, 4),

@@ -33,13 +33,16 @@ LADDER_UP = 15
 LAVA = 16
 RUBY = 17
 SAPPHIRE = 18
-NUM_BLOCK_TYPES = 19
+OBSIDIAN = 19
+CHEST = 20
+NUM_BLOCK_TYPES = 21
 
 # map levels (craftax-style vertical depth)
 SURFACE = 0
 CAVE = 1
 DEEP = 2
-NUM_LEVELS = 3
+HELL = 3
+NUM_LEVELS = 4
 
 WORLD_SIZE = 48
 # The env stores the map PRE-PADDED with an INVALID border of PAD cells:
@@ -77,12 +80,17 @@ def generate_world(key: jax.Array) -> jax.Array:
     (INVALID border of PAD): a surface level — water/sand/grass plains
     with forests and a stony highland seamed with ores — a CAVE level
     (craftax-style depth) of stone passages with much richer ore veins and
-    lava hazards, and a DEEP level of tight corridors, heavy lava, and the
-    richest diamond/ruby veins (ruby spawns nowhere else). Aligned ladder
-    pairs connect surface<->cave and cave<->deep (craftax's multi-floor
-    dungeon descent). int8 storage quarters HBM traffic for the
-    scatter-heavy step function."""
-    key, k_cave, k_deep, k_ladder, k_ladder2 = jax.random.split(key, 5)
+    lava hazards, a DEEP level of tight corridors, heavy lava, and the
+    richest diamond/ruby veins (ruby spawns nowhere else), and a HELL
+    level at the bottom: obsidian walls (diamond pickaxe to mine), lava
+    seas, and the densest loot chests. Chests holding potions and
+    spellbooks are scattered over every dungeon floor. Aligned ladder
+    pairs connect each floor seam (craftax's multi-floor dungeon
+    descent). int8 storage quarters HBM traffic for the scatter-heavy
+    step function."""
+    key, k_cave, k_deep, k_hell, k_ladder, k_ladder2, k_ladder3 = (
+        jax.random.split(key, 7)
+    )
     k_elev, k_detail, k_feat = jax.random.split(key, 3)
 
     elev = _value_noise(k_elev, WORLD_SIZE, 6) + 0.5 * _value_noise(
@@ -124,7 +132,9 @@ def generate_world(key: jax.Array) -> jax.Array:
     cave = jnp.full((WORLD_SIZE, WORLD_SIZE), STONE, jnp.int8)
     open_cell = cnoise > -0.15  # ~60% passages
     cave = jnp.where(open_cell, PATH, cave)
-    cave = jnp.where(open_cell & (cnoise > 0.8), LAVA, cave)
+    # ~5% lava hazards (quantile: keeps the cave<deep<hell lava ordering
+    # deterministic across seeds — see the DEEP comment)
+    cave = jnp.where(cnoise > jnp.quantile(cnoise, 0.95), LAVA, cave)
     cfeat = jax.random.uniform(k_cfeat, (WORLD_SIZE, WORLD_SIZE))
     wall = cave == STONE
     cave = jnp.where(wall & (cfeat < 0.15), COAL, cave)
@@ -139,7 +149,10 @@ def generate_world(key: jax.Array) -> jax.Array:
     deep = jnp.full((WORLD_SIZE, WORLD_SIZE), STONE, jnp.int8)
     open_deep = dnoise > 0.05  # ~45% passages
     deep = jnp.where(open_deep, PATH, deep)
-    deep = jnp.where(open_deep & (dnoise > 0.55), LAVA, deep)
+    # lava covers a fixed ~8% of the floor (quantile, not an absolute
+    # threshold: noise amplitude varies enough seed-to-seed that absolute
+    # cuts swing the lava count 3x, breaking the cave<deep<hell ordering)
+    deep = jnp.where(dnoise > jnp.quantile(dnoise, 0.92), LAVA, deep)
     dfeat = jax.random.uniform(k_dfeat, (WORLD_SIZE, WORLD_SIZE))
     dwall = deep == STONE
     deep = jnp.where(dwall & (dfeat < 0.18), IRON, deep)
@@ -147,20 +160,53 @@ def generate_world(key: jax.Array) -> jax.Array:
     deep = jnp.where(dwall & (dfeat >= 0.30) & (dfeat < 0.38), RUBY, deep)
     deep = jnp.where(dwall & (dfeat >= 0.38) & (dfeat < 0.43), SAPPHIRE, deep)
 
+    # ---- hell level -----------------------------------------------------
+    # the bottom of the dungeon: obsidian walls (diamond-pickaxe-tier),
+    # lava seas across the open ground, and the densest chest loot
+    k_hnoise, k_hfeat = jax.random.split(k_hell)
+    hnoise = _value_noise(k_hnoise, WORLD_SIZE, 8)
+    hell = jnp.full((WORLD_SIZE, WORLD_SIZE), OBSIDIAN, jnp.int8)
+    open_hell = hnoise > 0.1  # ~40% passages
+    hell = jnp.where(open_hell, PATH, hell)
+    # lava seas: a fixed ~20% of the floor (always denser than DEEP's 8%)
+    hell = jnp.where(hnoise > jnp.quantile(hnoise, 0.80), LAVA, hell)
+
+    # ---- loot chests ----------------------------------------------------
+    # every dungeon floor hides chests on open ground, denser with depth
+    cave = jnp.where((cave == PATH) & (cfeat > 0.995), CHEST, cave)
+    deep = jnp.where((deep == PATH) & (dfeat > 0.99), CHEST, deep)
+    # hell: exactly the top-12 path cells by score become chests (seeds
+    # where lava+obsidian squeeze the walkable area would otherwise drop
+    # below the guaranteed loot floor)
+    hfeat = jax.random.uniform(k_hfeat, (WORLD_SIZE, WORLD_SIZE))
+    hscore = jnp.where(hell == PATH, hfeat, -1.0)
+    hthresh = jnp.sort(hscore.ravel())[-12]
+    hell = jnp.where((hscore >= hthresh) & (hscore > 0), CHEST, hell)
+
     # ---- aligned ladder pairs ------------------------------------------
     # two ladders per floor seam at random interior cells; the upper floor
     # gets LADDER_DOWN on a carved tile, the lower floor LADDER_UP with a
     # 3x3 cleared pocket (both sides carved so the seam is traversable)
     # row bands keep the two seams' ladder cells disjoint (a shared cell
     # would overwrite a cave LADDER_UP with a LADDER_DOWN)
-    lpos = jax.random.randint(
-        k_ladder, (2, 2), 6, WORLD_SIZE - 6
-    ).at[:, 0].set(jax.random.randint(k_ladder, (2,), 6, WORLD_SIZE // 2))
-    lpos2 = jax.random.randint(
-        k_ladder2, (2, 2), 6, WORLD_SIZE - 6
-    ).at[:, 0].set(
-        jax.random.randint(k_ladder2, (2,), WORLD_SIZE // 2, WORLD_SIZE - 6)
-    )
+    third = (WORLD_SIZE - 12) // 3  # three disjoint row bands, one per seam
+    half = WORLD_SIZE // 2
+
+    def _seam_pair(k, row_lo, row_hi):
+        # the pair's columns come from disjoint left/right halves (>=4
+        # apart) so neither the cells nor their 3x3 pockets can collide —
+        # a collision would overwrite one ladder and break the seam
+        rows = jax.random.randint(k, (2,), row_lo, row_hi)
+        cols = jax.random.randint(
+            jax.random.fold_in(k, 1), (2,), 0, half - 8
+        ) + jnp.array([6, half + 2])
+        return jnp.stack([rows, cols], axis=1)
+
+    # bands end 2 rows short of the next band: a pocket carve (radius 1)
+    # from one seam must never reach another seam's ladder cell
+    lpos = _seam_pair(k_ladder, 6, 6 + third - 2)
+    lpos2 = _seam_pair(k_ladder2, 6 + third, 6 + 2 * third - 2)
+    lpos3 = _seam_pair(k_ladder3, 6 + 2 * third, WORLD_SIZE - 8)
     yy = jnp.arange(WORLD_SIZE)
 
     def _pocket(ly, lx):
@@ -184,7 +230,14 @@ def generate_world(key: jax.Array) -> jax.Array:
         deep = jnp.where(_pocket(ly, lx), jnp.int8(PATH), deep)
         deep = deep.at[ly, lx].set(LADDER_UP)
 
-    world = jnp.stack([blocks, cave, deep]).astype(jnp.int8)
+    for i in range(2):
+        ly, lx = lpos3[i, 0], lpos3[i, 1]
+        deep = jnp.where(_pocket(ly, lx), jnp.int8(PATH), deep)
+        deep = deep.at[ly, lx].set(LADDER_DOWN)
+        hell = jnp.where(_pocket(ly, lx), jnp.int8(PATH), hell)
+        hell = hell.at[ly, lx].set(LADDER_UP)
+
+    world = jnp.stack([blocks, cave, deep, hell]).astype(jnp.int8)
     return jnp.pad(
         world, ((0, 0), (PAD, PAD), (PAD, PAD)), constant_values=INVALID
     )

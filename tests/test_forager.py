@@ -389,3 +389,202 @@ def test_tier2_orcs_and_warden():
     )
     # warden may have moved adjacent->adjacent; player took warden-tier damage
     assert int(s3.health) <= int(state.health) - 3
+
+
+def test_hell_floor_structure_and_descent():
+    """The dungeon bottoms out in HELL: obsidian walls (diamond pickaxe
+    to mine), lava seas, the densest chests, and a ladder seam from DEEP."""
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(21), params)
+    blocks = np.asarray(state.blocks)
+    assert blocks.shape[0] == W.NUM_LEVELS == 4
+
+    assert (blocks[W.HELL] == W.OBSIDIAN).sum() > 100
+    assert (blocks[W.HELL] == W.LAVA).sum() > (blocks[W.DEEP] == W.LAVA).sum()
+    assert (blocks[W.HELL] == W.CHEST).sum() >= 5
+    assert (blocks[W.DEEP] == W.LADDER_DOWN).sum() == 2
+    assert (blocks[W.HELL] == W.LADDER_UP).sum() == 2
+    # obsidian exists nowhere above hell
+    assert (blocks[: W.HELL] == W.OBSIDIAN).sum() == 0
+
+    # scripted descent deep -> hell
+    ly, lx = np.argwhere(blocks[W.DEEP] == W.LADDER_DOWN)[0]
+    state = state.replace(
+        level=jnp.asarray(W.DEEP, jnp.int32),
+        pos=jnp.asarray([ly + 1, lx], jnp.int32),
+        facing=jnp.asarray(0),
+    )
+    obs, state, r, d, _ = env.step(
+        jax.random.PRNGKey(22), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(state.level) == W.HELL
+    assert bool(state.achievements[F._ACH["enter_hell"]])
+    assert float(r) >= 1.0
+
+    # obsidian needs the diamond pickaxe
+    oy, ox = np.argwhere(blocks[W.HELL] == W.OBSIDIAN)[0]
+    state = state.replace(
+        pos=jnp.asarray([oy + 1, ox], jnp.int32), facing=jnp.asarray(0)
+    )
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(23), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(s2.inventory[F.INV["obsidian"]]) == 0
+    state = state.replace(
+        inventory=state.inventory.at[F.INV["diamond_pickaxe"]].set(1)
+    )
+    _, s3, r, _, _ = env.step(
+        jax.random.PRNGKey(23), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(s3.inventory[F.INV["obsidian"]]) == 1
+    assert bool(s3.achievements[F._ACH["collect_obsidian"]])
+
+
+def test_chest_loot():
+    """DO on a chest consumes it and yields a potion or the spellbook."""
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(31), params)
+    blocks = np.asarray(state.blocks)
+    cy, cx = np.argwhere(blocks[W.HELL] == W.CHEST)[0]
+    state = state.replace(
+        level=jnp.asarray(W.HELL, jnp.int32),
+        pos=jnp.asarray([cy + 1, cx], jnp.int32),
+        facing=jnp.asarray(0),
+    )
+    _, s2, r, _, _ = env.step(
+        jax.random.PRNGKey(32), state, jnp.asarray(F.A_DO), params
+    )
+    assert bool(s2.achievements[F._ACH["open_chest"]])
+    assert float(r) >= 1.0
+    assert int(np.asarray(s2.blocks)[W.HELL, cy, cx]) == W.PATH
+    p0 = F.INV["potion_red"]
+    loot = int(np.asarray(s2.inventory)[p0 : p0 + 3].sum()) + int(
+        s2.inventory[F.INV["spellbook"]]
+    )
+    assert loot == 1, "chest should yield exactly one item"
+
+
+def test_potions_follow_episode_permutation():
+    """Drinking a potion applies the effect its color maps to THIS
+    episode; the mapping is hidden state permuted at reset."""
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(41), params)
+    pmap = np.asarray(state.potion_map)
+    assert sorted(pmap.tolist()) == [0, 1, 2]
+
+    p0 = F.INV["potion_red"]
+    inv = state.inventory.at[p0].set(3).at[p0 + 1].set(3).at[p0 + 2].set(3)
+    base = state.replace(
+        inventory=inv,
+        health=jnp.asarray(5, jnp.int32),
+        food=jnp.asarray(3, jnp.int32),
+        drink=jnp.asarray(3, jnp.int32),
+    )
+    for color in range(3):
+        _, s2, _, _, _ = env.step(
+            jax.random.PRNGKey(42), base,
+            jnp.asarray(F.A_DRINK_RED + color), params
+        )
+        assert int(s2.inventory[p0 + color]) == 2, "potion not consumed"
+        assert bool(s2.achievements[F._ACH["drink_potion"]])
+        effect = int(pmap[color])
+        if effect == F.POTION_HEAL:
+            assert int(s2.health) == 9
+        elif effect == F.POTION_FEAST:
+            assert int(s2.food) == 7 and int(s2.drink) == 7
+        else:  # poison
+            assert int(s2.health) == 3
+
+    # no potion in inventory -> nothing happens
+    _, s3, _, _, _ = env.step(
+        jax.random.PRNGKey(43), state, jnp.asarray(F.A_DRINK_RED), params
+    )
+    assert not bool(s3.achievements[F._ACH["drink_potion"]])
+
+
+def test_spellbook_fireball_and_mana():
+    """A spellbook + mana lets CAST fire a heavy ray projectile; mana is
+    spent on cast and trickles back over time."""
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(51), params)
+    py, px = int(state.pos[0]), int(state.pos[1])
+
+    # park a zombie 3 tiles down the facing ray on clear ground, at night
+    b = state.blocks
+    for d in range(1, 4):
+        b = b.at[W.SURFACE, py + d, px].set(W.GRASS)
+    z0 = F.ZOMBIES.start
+    armed = state.replace(
+        blocks=b,
+        facing=jnp.asarray(2),
+        time=jnp.asarray(159, jnp.int32),
+        inventory=state.inventory.at[F.INV["spellbook"]].set(1),
+        mana=jnp.asarray(9, jnp.int32),
+        mob_pos=state.mob_pos.at[z0].set(jnp.asarray([py + 3, px])),
+        mob_alive=state.mob_alive.at[z0].set(True),
+        mob_level=state.mob_level.at[z0].set(W.SURFACE),
+        mob_health=state.mob_health.at[z0].set(F.SPELL_DAMAGE),
+    )
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(52), armed, jnp.asarray(F.A_CAST), params
+    )
+    assert bool(s2.achievements[F._ACH["cast_spell"]])
+    assert not bool(s2.mob_alive[z0]), "fireball should kill the zombie"
+    assert int(s2.mana) == 9 - F.SPELL_COST
+
+    # no book -> no cast; no mana -> no cast
+    nobook = armed.replace(
+        inventory=armed.inventory.at[F.INV["spellbook"]].set(0)
+    )
+    _, s3, _, _, _ = env.step(
+        jax.random.PRNGKey(52), nobook, jnp.asarray(F.A_CAST), params
+    )
+    assert not bool(s3.achievements[F._ACH["cast_spell"]])
+    nomana = armed.replace(mana=jnp.asarray(F.SPELL_COST - 1, jnp.int32))
+    _, s4, _, _, _ = env.step(
+        jax.random.PRNGKey(52), nomana, jnp.asarray(F.A_CAST), params
+    )
+    assert not bool(s4.achievements[F._ACH["cast_spell"]])
+
+    # mana trickles back: 4 noop steps from 0 gain at least 1
+    drained = state.replace(mana=jnp.asarray(0, jnp.int32))
+    st = drained
+    for i in range(4):
+        _, st, _, _, _ = env.step(
+            jax.random.PRNGKey(53 + i), st, jnp.asarray(F.A_NOOP), params
+        )
+    assert int(st.mana) >= 1
+
+
+def test_demons_and_necromancer():
+    """Demons and the necromancer haunt the hell floor; the necromancer
+    is the toughest boss and grants the final combat achievement."""
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(61), params)
+    assert bool(state.mob_alive[F.NECRO])
+    assert int(np.asarray(state.mob_alive)[F.DEMONS].sum()) >= 3
+    assert int(state.mob_health[F.NECRO]) == 30
+
+    ny, nx = int(state.mob_pos[F.NECRO, 0]), int(state.mob_pos[F.NECRO, 1])
+    state = state.replace(
+        level=jnp.asarray(W.HELL, jnp.int32),
+        pos=jnp.asarray([ny + 1, nx], jnp.int32),
+        facing=jnp.asarray(0),
+        mob_health=state.mob_health.at[F.NECRO].set(1),
+    )
+    _, s2, r, _, _ = env.step(
+        jax.random.PRNGKey(62), state, jnp.asarray(F.A_DO), params
+    )
+    assert not bool(s2.mob_alive[F.NECRO])
+    assert bool(s2.achievements[F._ACH["defeat_necromancer"]])
+    assert float(r) >= 1.0
+
+    # an adjacent live necromancer hits for 4 on even ticks
+    state = state.replace(
+        mob_health=state.mob_health.at[F.NECRO].set(30),
+        time=jnp.asarray(1, jnp.int32),
+    )
+    _, s3, _, _, _ = env.step(
+        jax.random.PRNGKey(63), state, jnp.asarray(F.A_NOOP), params
+    )
+    assert int(s3.health) <= int(state.health) - 4
