@@ -36,6 +36,7 @@ def _populate():
     )
     from purejaxql_tpu.envs.classic.cartpole_swingup import CartPoleSwingUp
     from purejaxql_tpu.envs.classic.hopper import Hopper
+    from purejaxql_tpu.envs.classic.pusher import Pusher
 
     _REGISTRY["CartPole-v1"] = CartPole
     _REGISTRY["Acrobot-v1"] = Acrobot
@@ -46,6 +47,7 @@ def _populate():
     _REGISTRY["MountainCarContinuous-v0"] = MountainCarContinuous
     _REGISTRY["CartPoleSwingUp-v0"] = CartPoleSwingUp
     _REGISTRY["Hopper-v0"] = Hopper
+    _REGISTRY["Pusher-v0"] = Pusher
 
     try:
         from purejaxql_tpu.envs.minatar import (

@@ -95,12 +95,67 @@ def test_hopper_phase_transitions():
     assert phases == {True, False}  # both flight and stance occurred
 
 
+def test_pusher_contact_pushes_puck():
+    """The disk-contact model: an overlapping fingertip de-penetrates the
+    puck and transfers approach velocity; a distant puck never moves."""
+    env, params = make("Pusher-v0")
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    # theta = [0, 0] puts the fingertip at (l1+l2, 0) = (1, 0)
+    base = state.replace(
+        theta=jnp.zeros(2), theta_dot=jnp.zeros(2),
+        puck=jnp.asarray([1.08, 0.0]), puck_vel=jnp.zeros(2),
+    )
+    _, s1, _, _, _ = env.step(
+        jax.random.PRNGKey(1), base, jnp.zeros(2), params
+    )
+    # overlap (dist .08 < contact_radius .12) resolved outward along +x
+    assert float(s1.puck[0]) > 1.11, s1.puck
+    # pushing the shoulder drives the tip into the puck: it picks up speed
+    moving = base.replace(puck=jnp.asarray([1.05, 0.12]))
+    s = moving
+    for t in range(5):
+        _, s, _, _, _ = env.step(
+            jax.random.PRNGKey(t), s, jnp.asarray([1.0, 0.0]), params
+        )
+    assert float(jnp.linalg.norm(s.puck - moving.puck)) > 0.1
+    # a puck across the arena is untouched
+    far = base.replace(puck=jnp.asarray([-0.8, 0.0]))
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(2), far, jnp.asarray([1.0, 1.0]), params
+    )
+    assert float(jnp.linalg.norm(s2.puck - far.puck)) < 1e-6
+    assert float(jnp.abs(s2.puck_vel).max()) == 0.0
+
+
+def test_pusher_goal_bonus_and_reset_geometry():
+    env, params = make("Pusher-v0")
+    obs, state = env.reset(jax.random.PRNGKey(3), params)
+    # reset keeps the puck pushable and the goal reachable
+    reach = params.l1 + params.l2
+    assert 0.25 < float(jnp.linalg.norm(state.puck)) < reach - 0.2
+    assert float(jnp.linalg.norm(state.goal)) < reach
+    assert obs.shape == (18,)
+    # puck parked on the goal with the tip beside it: in-goal bonus nets
+    # a clearly positive reward
+    near_goal = state.replace(
+        theta=jnp.zeros(2), theta_dot=jnp.zeros(2),
+        puck=state.goal, puck_vel=jnp.zeros(2),
+    )
+    tip = jnp.asarray([1.0, 0.0])
+    near_goal = near_goal.replace(goal=tip + 0.2, puck=tip + 0.2)
+    _, _, r, _, _ = env.step(
+        jax.random.PRNGKey(4), near_goal, jnp.zeros(2), params
+    )
+    assert float(r) > 0.5, r
+
+
 @pytest.mark.parametrize(
     "alg,env_name",
     [
         ("pqn_dm_suite", "CartPoleSwingUp-v0"),
         ("pqn_dm_suite", "MountainCarContinuous-v0"),
         ("pqn_locomotion", "Hopper-v0"),
+        ("pqn_manipulation", "Pusher-v0"),
     ],
 )
 def test_ac_trains_on_new_envs(alg, env_name):
