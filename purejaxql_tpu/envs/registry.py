@@ -37,6 +37,8 @@ def _populate():
     from purejaxql_tpu.envs.classic.cartpole_swingup import CartPoleSwingUp
     from purejaxql_tpu.envs.classic.hopper import Hopper
     from purejaxql_tpu.envs.classic.pusher import Pusher
+    from purejaxql_tpu.envs.classic.catch import Catch
+    from purejaxql_tpu.envs.classic.deep_sea import DeepSea
 
     _REGISTRY["CartPole-v1"] = CartPole
     _REGISTRY["Acrobot-v1"] = Acrobot
@@ -48,6 +50,8 @@ def _populate():
     _REGISTRY["CartPoleSwingUp-v0"] = CartPoleSwingUp
     _REGISTRY["Hopper-v0"] = Hopper
     _REGISTRY["Pusher-v0"] = Pusher
+    _REGISTRY["Catch-bsuite"] = Catch
+    _REGISTRY["DeepSea-bsuite"] = DeepSea
 
     try:
         from purejaxql_tpu.envs.minatar import (

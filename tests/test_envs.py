@@ -8,7 +8,10 @@ import pytest
 from purejaxql_tpu.envs import make, registered_envs, wrappers
 
 
-DISCRETE_ENVS = ["CartPole-v1", "Acrobot-v1", "MountainCar-v0", "MemoryChain-bsuite"]
+DISCRETE_ENVS = [
+    "CartPole-v1", "Acrobot-v1", "MountainCar-v0", "MemoryChain-bsuite",
+    "Catch-bsuite", "DeepSea-bsuite",
+]
 
 
 @pytest.mark.parametrize("name", DISCRETE_ENVS)
@@ -157,3 +160,63 @@ def test_memory_chain_needs_memory():
     )
     # context hidden afterwards
     assert float(obs2[2]) == 0.0
+
+
+def test_catch_tracking_policy_catches():
+    """Moving the paddle toward the ball's column every step catches every
+    drop (+1); parking the paddle off-column misses (-1)."""
+    env, params = make("Catch-bsuite")
+
+    def play(track):
+        obs, state = env.reset(jax.random.PRNGKey(5), params)
+        total = 0.0
+        for t in range(params.rows - 1):
+            dx = jnp.sign(state.ball_x - state.paddle_x)
+            a = (dx + 1) if track else jnp.asarray(1)  # track or stay
+            obs, state, r, d, _ = env.step(
+                jax.random.PRNGKey(t), state, jnp.asarray(a), params
+            )
+            total += float(r)
+        return total, bool(d)
+
+    caught, done = play(True)
+    assert caught == 1.0 and done
+    # worst case for "stay": drop where the ball starts off-center
+    env2, params2 = make("Catch-bsuite")
+    obs, state = env2.reset(jax.random.PRNGKey(11), params2)
+    missed = 0.0
+    for t in range(params2.rows - 1):
+        if int(state.ball_x) == int(state.paddle_x):
+            break
+        obs, state, r, d, _ = env2.step(
+            jax.random.PRNGKey(t), state, jnp.asarray(1), params2
+        )
+        missed += float(r)
+    if missed:  # only assert when the seed gave an off-center drop
+        assert missed == -1.0
+
+
+def test_deep_sea_treasure_and_penalty():
+    """Only the all-right trajectory pays +1 (minus the per-move cost);
+    all-left earns exactly 0; the per-column action map scrambles which
+    raw action means right."""
+    env, params = make("DeepSea-bsuite")
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    assert obs.shape == (params.size * params.size,)
+
+    def play(go_right):
+        o, s = env.reset(jax.random.PRNGKey(0), params)
+        total = 0.0
+        for t in range(params.size):
+            a = s.action_map[s.column] if go_right else 1 - s.action_map[s.column]
+            o, s, r, d, _ = env.step(
+                jax.random.PRNGKey(t), s, jnp.asarray(a), params
+            )
+            total += float(r)
+        return total, bool(d)
+
+    right_total, d1 = play(True)
+    left_total, d2 = play(False)
+    assert d1 and d2
+    np.testing.assert_allclose(right_total, 1.0 - 0.01, atol=1e-6)
+    assert left_total == 0.0

@@ -86,6 +86,25 @@ def test_cartpole_learns():
     assert rets[-10:].mean() > 100, rets[-10:]
 
 
+@pytest.mark.slow
+def test_catch_learns_to_perfect():
+    """FF-PQN solves Catch (bsuite) outright: greedy test returns reach
+    the perfect +1 catch rate within 200k steps (random ~ -0.2)."""
+    config = compose(
+        alg="pqn_cartpole",
+        overrides=[
+            "ENV_NAME=Catch-bsuite", "TOTAL_TIMESTEPS=200000",
+            "TOTAL_TIMESTEPS_DECAY=200000", "NUM_ENVS=32",
+            "TEST_NUM_ENVS=32", "EPS_FINISH=0.01",
+        ],
+    )
+    outs = jax.block_until_ready(
+        jax.jit(make_train(config))(jax.random.PRNGKey(0))
+    )
+    rets = np.asarray(outs["metrics"]["test/returned_episode_returns"])
+    assert rets[-3:].mean() > 0.95, rets[-5:]
+
+
 def test_batch_norm_path():
     config = tiny_config(NORM_TYPE="batch_norm", NORM_INPUT=True)
     outs = run(config)
