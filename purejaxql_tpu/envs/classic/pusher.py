@@ -43,7 +43,7 @@ class PusherParams:
     max_speed: float = 8.0
     l1: float = 0.6
     l2: float = 0.4
-    contact_radius: float = 0.12   # fingertip disk + puck disk
+    contact_radius: float = 0.2    # fingertip disk + puck disk
     puck_friction: float = 0.85    # per-step velocity retention
     goal_radius: float = 0.1
     max_steps_in_episode: int = struct.field(pytree_node=False, default=150)

@@ -363,7 +363,20 @@ class Forager(Environment):
 
     # ------------------------------------------------------------------
     def step_env(self, key, state, action, params):
-        k_do, k_zspawn, k_mob = jax.random.split(key, 3)
+        # ONE threefry invocation covers every stochastic decision in the
+        # step (sapling/chest rolls, zombie spawns, all mob movement).
+        # Separate jax.random calls each lower to their own hash kernel;
+        # at 1024 envs the step is kernel-dispatch-bound, so ~11 draws
+        # collapsing into one batched draw is a measurable win. The
+        # static column layout below IS the env's random stream — append
+        # new consumers at the end to keep old trajectories stable.
+        u = jax.random.uniform(key, (26 + 3 * N_MOBS,))
+        u_sap, u_chest = u[0], u[1]
+        u_zoff = u[2:18].reshape(N_ZOMBIES, 2)
+        u_zgate = u[18:26]
+        u_dirs = u[26 : 26 + N_MOBS]
+        u_chase = u[26 + N_MOBS : 26 + 2 * N_MOBS]
+        u_walk = u[26 + 2 * N_MOBS : 26 + 3 * N_MOBS]
         old_health = state.health
         ach = state.achievements
         inv = state.inventory
@@ -428,10 +441,9 @@ class Forager(Environment):
         has_ip = inv[INV["iron_pickaxe"]] > 0
         has_dp = inv[INV["diamond_pickaxe"]] > 0
 
-        k_sap, k_chest = jax.random.split(k_do)
         got_wood = do_block & (tblock == W.TREE)
         got_drink = do_block & (tblock == W.WATER)
-        sap_roll = jax.random.uniform(k_sap) < 0.1
+        sap_roll = u_sap < 0.1
         got_sapling = do_block & (tblock == W.GRASS) & sap_roll
         got_stone = do_block & (tblock == W.STONE) & has_wp
         got_coal = do_block & (tblock == W.COAL) & has_wp
@@ -457,7 +469,7 @@ class Forager(Environment):
         # loot chests: a random potion color, or (rarely) the spellbook
         # that unlocks the fireball spell. One one-hot add, no scatter.
         opened_chest = do_block & (tblock == W.CHEST)
-        chest_roll = jax.random.uniform(k_chest)
+        chest_roll = u_chest
         loot_color = jnp.minimum(
             jnp.floor(chest_roll / 0.28).astype(jnp.int32), NUM_POTIONS
         )  # 0/1/2 potion with p=.28 each, else (p=.16) the spellbook
@@ -751,8 +763,7 @@ class Forager(Environment):
         # dangerous), despawn on the surface at dawn. Zombie slots are a
         # STATIC slice of the mob table, so this stays a cheap
         # fixed-index update, not a scatter.
-        zk1, zk2 = jax.random.split(k_zspawn)
-        spawn_offsets = jax.random.randint(zk1, (N_ZOMBIES, 2), -8, 9)
+        spawn_offsets = jnp.floor(u_zoff * 17.0).astype(jnp.int32) - 8
         far_enough = jnp.abs(spawn_offsets).sum(axis=1) >= 5
         spawn_pos = jnp.clip(pos + spawn_offsets, W.PAD, W.PAD + W.WORLD_SIZE - 1)
         z_alive = mob_alive[ZOMBIES]
@@ -760,7 +771,7 @@ class Forager(Environment):
             (is_night | (lvl != W.SURFACE))
             & ~z_alive
             & far_enough
-            & (jax.random.uniform(zk2, (N_ZOMBIES,)) < 0.05)
+            & (u_zgate < 0.05)
             & _WALKABLE[blocks[lvl, spawn_pos[:, 0], spawn_pos[:, 1]]]
         )
         mob_pos = state.mob_pos.at[ZOMBIES].set(
@@ -781,9 +792,8 @@ class Forager(Environment):
         # chase step toward the player (taken with its type's chase prob
         # while on the player's floor) or a random-walk step (its type's
         # wander prob), gated by walkability on its own floor.
-        km1, km2, km3 = jax.random.split(k_mob, 3)
         same_lvl = mob_level == lvl
-        dirs = jax.random.randint(km1, (N_MOBS,), 0, 4)
+        dirs = jnp.floor(u_dirs * 4.0).astype(jnp.int32)
         delta = pos[None, :] - mob_pos
         go_y = jnp.abs(delta[:, 0]) >= jnp.abs(delta[:, 1])
         chase = jnp.stack(
@@ -794,12 +804,12 @@ class Forager(Environment):
             axis=1,
         ).astype(jnp.int32)
         wants_chase = same_lvl & (
-            jax.random.uniform(km2, (N_MOBS,)) < _CHASE_P[MOB_TYPE]
+            u_chase < _CHASE_P[MOB_TYPE]
         )
         walk_p = jnp.where(
             same_lvl, _WALK_P_SAME[MOB_TYPE], _WALK_P_AWAY[MOB_TYPE]
         )
-        wants_walk = jax.random.uniform(km3, (N_MOBS,)) < walk_p
+        wants_walk = u_walk < walk_p
         cand = jnp.clip(
             mob_pos
             + jnp.where(

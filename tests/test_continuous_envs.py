@@ -108,7 +108,7 @@ def test_pusher_contact_pushes_puck():
     _, s1, _, _, _ = env.step(
         jax.random.PRNGKey(1), base, jnp.zeros(2), params
     )
-    # overlap (dist .08 < contact_radius .12) resolved outward along +x
+    # overlap (dist .08 < contact_radius .2) resolved outward along +x
     assert float(s1.puck[0]) > 1.11, s1.puck
     # pushing the shoulder drives the tip into the puck: it picks up speed
     moving = base.replace(puck=jnp.asarray([1.05, 0.12]))
