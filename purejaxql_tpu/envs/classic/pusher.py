@@ -78,10 +78,17 @@ class Pusher(Environment):
             angle = jax.random.uniform(k_a, (), minval=-jnp.pi, maxval=jnp.pi)
             return radius * jnp.array([jnp.cos(angle), jnp.sin(angle)])
 
-        # puck well inside reach (it must stay pushable); goal anywhere
-        # reachable — pushing outward/inward both occur
+        # puck well inside reach (it must stay pushable); the goal lands
+        # 0.25-0.5 away from the puck in a random direction — a push of
+        # roughly one contact chain, the playground-style task scale (a
+        # fully random goal demands multi-orbit pushing a 2-joint arm
+        # can't discover from shaped reward alone)
         puck = _annulus(k_puck, 0.3, reach - 0.25)
-        goal = _annulus(k_goal, 0.2, reach - 0.1)
+        k_r, k_a = jax.random.split(k_goal)
+        off_r = jax.random.uniform(k_r, (), minval=0.25, maxval=0.5)
+        off_a = jax.random.uniform(k_a, (), minval=-jnp.pi, maxval=jnp.pi)
+        goal = puck + off_r * jnp.array([jnp.cos(off_a), jnp.sin(off_a)])
+        goal = goal * jnp.minimum(1.0, (reach - 0.1) / jnp.linalg.norm(goal))
         state = PusherState(
             theta=theta,
             theta_dot=jnp.zeros(2),
@@ -127,13 +134,16 @@ class Pusher(Environment):
         d_goal = jnp.linalg.norm(puck - state.goal)
         d_tip = jnp.linalg.norm(tip - puck)
         in_goal = d_goal < params.goal_radius
+        # reach + push shaping, with a terminal success bonus: parking the
+        # puck on the pad ends the episode at +10 (a crisp, discountable
+        # event instead of a drip of in-goal reward)
         reward = (
             -d_goal
             - 0.5 * d_tip
-            + 1.0 * in_goal
+            + 10.0 * in_goal
             - 0.01 * jnp.square(torque).sum()
         )
-        done = new_state.time >= params.max_steps_in_episode
+        done = in_goal | (new_state.time >= params.max_steps_in_episode)
         return (
             jax.lax.stop_gradient(self.get_obs(new_state, params)),
             jax.lax.stop_gradient(new_state),
