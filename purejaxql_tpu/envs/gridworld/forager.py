@@ -18,14 +18,17 @@ down the facing ray, first mob in line-of-sight takes heavy damage), loot
 chests holding potions whose color -> effect mapping is re-permuted every
 episode (craftax's potion-experimentation mechanic), a mana-fueled
 fireball spell unlocked by a spellbook chest drop (craftax's magic
-system), and a 41-achievement reward structure (+1 on each first-time
-achievement per episode, +-0.1 per health point gained/lost).
+system), iron/diamond armor tiers that blunt melee damage, and a
+48-achievement reward structure (+1 on each first-time achievement per
+episode, +-0.1 per health point gained/lost) including derived feats
+(marksman long shots, fireball kills, collecting every gem type, slaying
+both bosses).
 
 Observations are symbolic (craftax-symbolic-style): a flattened float32
 vector of a 9x9 one-hot local block/mob view plus inventory, needs + mana,
-facing, time-of-day and sleep state. 26 discrete actions (noop, 4 moves,
-do, sleep, 4 places, 10 crafts, shoot, 3 drinks, cast). The potion
-permutation is hidden state the agent cannot observe — only taste.
+facing, time-of-day and sleep state. 28 discrete actions (noop, 4 moves,
+do, sleep, 4 places, 12 crafts incl. armor, shoot, 3 drinks, cast). The
+potion permutation is hidden state the agent cannot observe — only taste.
 
 Everything is branchless jnp.where logic over static-shape arrays: the
 whole step is a handful of fused gather/compare ops, and worlds vmap to
@@ -54,6 +57,8 @@ ACHIEVEMENTS = [
     "fire_bow", "defeat_orc", "defeat_warden", "enter_hell",
     "collect_obsidian", "open_chest", "drink_potion", "learn_spell",
     "cast_spell", "defeat_demon", "defeat_necromancer",
+    "make_iron_armor", "make_diamond_armor", "fireball_kill", "marksman",
+    "collect_all_gems", "slay_all_bosses", "full_belly",
 ]
 NUM_ACHIEVEMENTS = len(ACHIEVEMENTS)
 _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
@@ -108,6 +113,15 @@ _MOB_ACH_IDS = jnp.array(
     ]
 )
 
+# derived-achievement rows (order matches the `derived` stack in step_env)
+_DERIVED_IDS = [
+    _ACH["fireball_kill"], _ACH["marksman"], _ACH["collect_all_gems"],
+    _ACH["slay_all_bosses"], _ACH["full_belly"],
+]
+_DERIVED_ONEHOT = (
+    jnp.arange(NUM_ACHIEVEMENTS)[None, :] == jnp.array(_DERIVED_IDS)[:, None]
+)
+
 # inventory slots
 INV = {
     "wood": 0, "stone": 1, "coal": 2, "iron": 3, "diamond": 4, "sapling": 5,
@@ -117,9 +131,9 @@ INV = {
     "sapphire": 17, "obsidian": 18,
     # potion colors MUST stay consecutive (drink actions index off red)
     "potion_red": 19, "potion_green": 20, "potion_blue": 21,
-    "spellbook": 22,
+    "spellbook": 22, "iron_armor": 23, "diamond_armor": 24,
 }
-NUM_INV = 23
+NUM_INV = 25
 
 # actions
 A_NOOP, A_LEFT, A_RIGHT, A_UP, A_DOWN, A_DO, A_SLEEP = range(7)
@@ -127,7 +141,8 @@ A_PLACE_STONE, A_PLACE_TABLE, A_PLACE_FURNACE, A_PLACE_PLANT = 7, 8, 9, 10
 A_MAKE_WP, A_MAKE_SP, A_MAKE_IP, A_MAKE_WS, A_MAKE_SS, A_MAKE_IS = range(11, 17)
 A_MAKE_DP, A_MAKE_DS, A_MAKE_BOW, A_MAKE_ARROW, A_SHOOT = range(17, 22)
 A_DRINK_RED, A_DRINK_GREEN, A_DRINK_BLUE, A_CAST = range(22, 26)
-NUM_ACTIONS = 26
+A_MAKE_IA, A_MAKE_DA = 26, 27  # armor crafts
+NUM_ACTIONS = 28
 
 ARROW_RANGE = 5   # tiles along the facing ray
 ARROW_DAMAGE = 3
@@ -605,6 +620,11 @@ class Forager(Environment):
         craft(A_MAKE_DS, "diamond_sword", [("wood", 1), ("diamond", 1)],
               "make_diamond_sword", need_furnace=True)
         craft(A_MAKE_BOW, "bow", [("wood", 2)], "make_bow")
+        # armor tiers: each flat tier point shaves a point off melee hits
+        craft(A_MAKE_IA, "iron_armor", [("iron", 3), ("coal", 1)],
+              "make_iron_armor", need_furnace=True)
+        craft(A_MAKE_DA, "diamond_armor", [("diamond", 2), ("iron", 1)],
+              "make_diamond_armor", need_furnace=True)
 
         # arrows stack (unlike tools): wood+stone -> +ARROWS_PER_CRAFT,
         # capped at MAX_ARROWS
@@ -835,12 +855,37 @@ class Forager(Environment):
             & (jnp.abs(mob_pos - pos[None, :]).sum(axis=1) <= 1)
         )
         base_dmg = jnp.where(adj, _MELEE_DMG[MOB_TYPE], 0).max()
+        # armor shaves a point per tier off melee hits (never below 1:
+        # even the NECROMANCER's claws chip a fully-armored player)
+        armor = inv[INV["iron_armor"]] + 2 * inv[INV["diamond_armor"]]
+        base_dmg = jnp.where(
+            base_dmg > 0, jnp.maximum(base_dmg - armor, 1), 0
+        )
         dmg = jnp.where(
             (base_dmg > 0) & (t % 2 == 0),
             base_dmg + sleeping.astype(jnp.int32),
             0,
         )
         health = jnp.maximum(health - dmg, 0)
+
+        # ---- derived achievements -----------------------------------
+        # latched conditions over current state, OR'd in via ONE vector
+        # op (per-id .at[].set scatters would each be their own kernel)
+        derived = jnp.stack(
+            [
+                cast & struck.any(),                       # fireball_kill
+                shoot & struck.any() & (nearest >= 4),     # marksman
+                (inv[INV["diamond"]] > 0) & (inv[INV["ruby"]] > 0)
+                & (inv[INV["sapphire"]] > 0),              # collect_all_gems
+                # health (not alive): a boss whose spawn placement failed
+                # was never alive but must not count as slain
+                (mob_health[WARDEN] <= 0) & (mob_health[NECRO] <= 0),
+                # full_belly: must be a REFILL (you spawn full)
+                (food >= 9) & (drink >= 9)
+                & ~((state.food >= 9) & (state.drink >= 9)),
+            ]
+        )
+        ach = ach | (derived[:, None] & _DERIVED_ONEHOT).any(0)
 
         # ---- reward / termination -----------------------------------
         new_ach = jnp.logical_and(ach, jnp.logical_not(state.achievements))

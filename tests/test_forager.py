@@ -588,3 +588,90 @@ def test_demons_and_necromancer():
         jax.random.PRNGKey(63), state, jnp.asarray(F.A_NOOP), params
     )
     assert int(s3.health) <= int(state.health) - 4
+
+
+def test_armor_crafts_and_blunts_melee():
+    """Iron/diamond armor craft at a table+furnace and shave their tier
+    off melee damage (never below 1 chip damage)."""
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(70), params)
+    py, px = int(state.pos[0]), int(state.pos[1])
+    blocks = state.blocks.at[state.level, py, px + 1].set(W.TABLE)
+    blocks = blocks.at[state.level, py, px - 1].set(W.FURNACE)
+    inv = (
+        state.inventory.at[F.INV["iron"]].set(4)
+        .at[F.INV["coal"]].set(1)
+        .at[F.INV["diamond"]].set(2)
+    )
+    state = state.replace(blocks=blocks, inventory=inv)
+    _, s1, r1, _, _ = env.step(
+        jax.random.PRNGKey(71), state, jnp.asarray(F.A_MAKE_IA), params
+    )
+    assert int(s1.inventory[F.INV["iron_armor"]]) == 1
+    assert bool(s1.achievements[F._ACH["make_iron_armor"]])
+    assert int(s1.inventory[F.INV["iron"]]) == 1  # 3 iron + 1 coal spent
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(72), s1, jnp.asarray(F.A_MAKE_DA), params
+    )
+    assert int(s2.inventory[F.INV["diamond_armor"]]) == 1
+    assert bool(s2.achievements[F._ACH["make_diamond_armor"]])
+
+    # necromancer melee (4 dmg) against tier-3 armor -> 1 chip damage
+    ny, nx = int(s2.mob_pos[F.NECRO, 0]), int(s2.mob_pos[F.NECRO, 1])
+    armored = s2.replace(
+        level=jnp.asarray(W.HELL, jnp.int32),
+        pos=jnp.asarray([ny + 1, nx], jnp.int32),
+        time=jnp.asarray(1, jnp.int32),
+        mob_alive=s2.mob_alive.at[F.NECRO].set(True),
+        mob_health=s2.mob_health.at[F.NECRO].set(30),
+    )
+    _, s3, _, _, _ = env.step(
+        jax.random.PRNGKey(73), armored, jnp.asarray(F.A_NOOP), params
+    )
+    assert int(s3.health) == int(armored.health) - 1
+    naked = armored.replace(inventory=jnp.zeros_like(armored.inventory))
+    _, s4, _, _, _ = env.step(
+        jax.random.PRNGKey(73), naked, jnp.asarray(F.A_NOOP), params
+    )
+    assert int(s4.health) <= int(naked.health) - 4
+
+
+def test_derived_achievements_latch():
+    """collect_all_gems, slay_all_bosses and full_belly are derived from
+    state each step; full_belly requires a refill (you spawn full)."""
+    env, params = make("Forager-v0")
+    obs, state = env.reset(jax.random.PRNGKey(74), params)
+    # spawning full must NOT grant full_belly
+    _, s0, _, _, _ = env.step(
+        jax.random.PRNGKey(75), state, jnp.asarray(F.A_NOOP), params
+    )
+    assert not bool(s0.achievements[F._ACH["full_belly"]])
+    # refill transition does: drop below, then drink back to full
+    low = state.replace(drink=jnp.asarray(6, jnp.int32))
+    ty, tx = int(low.pos[0]) - 1, int(low.pos[1])
+    blocks = low.blocks.at[low.level, ty, tx].set(W.WATER)
+    low = low.replace(blocks=blocks, facing=jnp.asarray(0))
+    _, s1, _, _, _ = env.step(
+        jax.random.PRNGKey(76), low, jnp.asarray(F.A_DO), params
+    )
+    assert bool(s1.achievements[F._ACH["full_belly"]])
+
+    gems = state.replace(
+        inventory=state.inventory.at[F.INV["diamond"]].set(1)
+        .at[F.INV["ruby"]].set(1).at[F.INV["sapphire"]].set(1)
+    )
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(77), gems, jnp.asarray(F.A_NOOP), params
+    )
+    assert bool(s2.achievements[F._ACH["collect_all_gems"]])
+    assert not bool(s2.achievements[F._ACH["slay_all_bosses"]])
+
+    slain = state.replace(
+        mob_health=state.mob_health.at[F.WARDEN].set(0).at[F.NECRO].set(0),
+        mob_alive=state.mob_alive.at[F.WARDEN].set(False)
+        .at[F.NECRO].set(False),
+    )
+    _, s3, _, _, _ = env.step(
+        jax.random.PRNGKey(78), slain, jnp.asarray(F.A_NOOP), params
+    )
+    assert bool(s3.achievements[F._ACH["slay_all_bosses"]])
