@@ -158,6 +158,19 @@ def make_train(
     # runtimes lack; default is collect-in-graph + host-side replay.
     use_callback = config.get("LOG_VIA_CALLBACK", False)
     use_q_lambda = config.get("Q_LAMBDA", True)
+    use_fused_rollout = config.get("FUSED_ROLLOUT", False)
+    if use_fused_rollout and (
+        config["ENV_NAME"] != "Breakout-MinAtar"
+        or mode != "split"
+        or config.get("NORM_TYPE") != "layer_norm"
+        or config.get("NORM_INPUT", False)
+        or config["NUM_ENVS"] % 8 != 0
+    ):
+        raise ValueError(
+            "FUSED_ROLLOUT currently supports Breakout-MinAtar with "
+            "layer_norm, NORM_INPUT=False, NUM_ENVS % 8 == 0 "
+            "(ops/pallas_rollout.py)"
+        )
     metric_callback = logger.make_callback() if logger is not None else None
     collect_metrics = config.get("COLLECT_METRICS", True)
 
@@ -230,11 +243,83 @@ def make_train(
                 )
                 return (new_obs, new_env_state, rng), (transition, info)
 
-            rng, _rng = jax.random.split(rng)
-            (*expl_state, rng), (transitions, infos) = jax.lax.scan(
-                _step_env, (*expl_state, _rng), None, config["NUM_STEPS"]
-            )
-            expl_state = tuple(expl_state)
+            if use_fused_rollout:
+                # one Pallas kernel for the whole rollout (env + CNN +
+                # eps-greedy in VMEM, hardware PRNG); Log-wrapper stats are
+                # replayed from the (reward, done) streams afterwards —
+                # see ops/pallas_rollout.py for the parity trade
+                from purejaxql_tpu.ops.pallas_rollout import (
+                    breakout_from_state_matrix,
+                    breakout_rollout_pallas,
+                    state_matrix_from_breakout,
+                )
+
+                rng, _rng = jax.random.split(rng)
+                seed = jax.random.randint(
+                    _rng, (), 0, jnp.iinfo(jnp.int32).max
+                )
+                eps = eps_scheduler(train_state.n_updates)
+                last_obs, log_state = expl_state
+                st0, brick0 = state_matrix_from_breakout(log_state.env_state)
+                T = config["NUM_STEPS"]
+                (obs_seq, act, rew, done_i, q_seq, final_obs, st1, brick1) = (
+                    breakout_rollout_pallas(
+                        seed, eps, train_state.params, st0, brick0, T
+                    )
+                )
+                next_obs = jnp.concatenate([obs_seq[1:], final_obs[None]], 0)
+                done = done_i.astype(bool)
+                transitions = Transition(
+                    obs=obs_seq,
+                    action=act,
+                    reward=rew_scale * rew,
+                    done=done,
+                    next_obs=next_obs,
+                    q_val=q_seq[..., :3],
+                )
+
+                def _log_replay(carry, rd):
+                    ep_r, ep_l, ret_r, ret_l, ts = carry
+                    r, dn = rd
+                    ner, nel = ep_r + r, ep_l + 1
+                    nd = (1 - dn).astype(ner.dtype)
+                    nd_i = (1 - dn).astype(jnp.int32)
+                    ret_r = ret_r * nd + ner * dn
+                    ret_l = ret_l * nd_i + nel * dn.astype(jnp.int32)
+                    ts = ts + 1
+                    info = {
+                        "returned_episode_returns": ret_r,
+                        "returned_episode_lengths": ret_l,
+                        "timestep": ts,
+                        "returned_episode": dn.astype(bool),
+                    }
+                    return (ner * nd, nel * nd_i, ret_r, ret_l, ts), info
+
+                log_carry = (
+                    log_state.episode_returns,
+                    log_state.episode_lengths,
+                    log_state.returned_episode_returns,
+                    log_state.returned_episode_lengths,
+                    log_state.timestep,
+                )
+                (ep_r, ep_l, ret_r, ret_l, ts), infos = jax.lax.scan(
+                    _log_replay, log_carry, (rew, done.astype(jnp.float32))
+                )
+                log_state = log_state.replace(
+                    env_state=breakout_from_state_matrix(st1, brick1),
+                    episode_returns=ep_r,
+                    episode_lengths=ep_l,
+                    returned_episode_returns=ret_r,
+                    returned_episode_lengths=ret_l,
+                    timestep=ts,
+                )
+                expl_state = (final_obs, log_state)
+            else:
+                rng, _rng = jax.random.split(rng)
+                (*expl_state, rng), (transitions, infos) = jax.lax.scan(
+                    _step_env, (*expl_state, _rng), None, config["NUM_STEPS"]
+                )
+                expl_state = tuple(expl_state)
 
             train_state = train_state.replace(
                 timesteps=train_state.timesteps

@@ -9,5 +9,25 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+# key the persistent compile cache by CPU fingerprint: XLA:CPU AOT
+# artifacts baked for one machine's vector extensions SIGILL when a
+# fleet scheduler moves the workspace to a host with different features
+def _cpu_tag():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            info = f.read()
+        lines = [
+            ln for ln in info.splitlines()
+            if ln.startswith(("model name", "flags"))
+        ]
+        return hashlib.md5("\n".join(sorted(set(lines))).encode()).hexdigest()[:10]
+    except OSError:
+        return "default"
+
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_test_cache_{_cpu_tag()}"
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")

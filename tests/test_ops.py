@@ -90,3 +90,102 @@ def test_pallas_eps_greedy_seed_dependence():
     a1 = np.asarray(eps_greedy_pallas(jnp.asarray(1), q_vals, jnp.asarray(1.0)))
     a2 = np.asarray(eps_greedy_pallas(jnp.asarray(2), q_vals, jnp.asarray(1.0)))
     assert not np.array_equal(a1, a2)
+
+
+def test_fused_rollout_interpret_exactness():
+    """The fused Breakout rollout kernel (ops/pallas_rollout.py) with the
+    PRNG disabled (greedy, no resets in 5 steps) matches the XLA engine's
+    env dynamics, obs build, and action stream exactly; Q-values agree to
+    conv-vs-matmul accumulation order (~1e-6)."""
+    import numpy as np
+    from purejaxql_tpu.envs import make
+    from purejaxql_tpu.models.cnn import CNNQNetwork
+    from purejaxql_tpu.ops.pallas_rollout import (
+        breakout_from_state_matrix,
+        breakout_rollout_pallas,
+        state_matrix_from_breakout,
+    )
+
+    B, T = 16, 5
+    env, params = make("Breakout-MinAtar")
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    obs0, state0 = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+    net = CNNQNetwork(action_dim=3, norm_type="layer_norm", norm_input=False)
+    variables = net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 10, 10, 4)), train=False
+    )
+
+    def ref_step(carry, _):
+        obs, st = carry
+        q = net.apply(variables, obs, train=False)
+        a = jnp.argmax(q, axis=-1)
+        o2, st2, r, d, _ = jax.vmap(env.step_env, in_axes=(0, 0, 0, None))(
+            jax.random.split(jax.random.PRNGKey(2), B), st, a, params
+        )
+        return (o2, st2), (obs, a, r, d, q)
+
+    (_, final_st), (obs_ref, act_ref, rew_ref, done_ref, q_ref) = jax.lax.scan(
+        ref_step, (obs0, state0), None, T
+    )
+    st0, brick0 = state_matrix_from_breakout(state0)
+    obs_seq, act, rew, done_i, q_seq, fobs, st1, brick1 = (
+        breakout_rollout_pallas(
+            jnp.asarray(0), jnp.asarray(0.0), variables["params"], st0,
+            brick0, T, use_prng=False, interpret=True,
+        )
+    )
+    assert np.allclose(np.asarray(obs_seq), np.asarray(obs_ref))
+    assert np.array_equal(np.asarray(act), np.asarray(act_ref))
+    assert np.array_equal(np.asarray(rew), np.asarray(rew_ref))
+    assert np.array_equal(
+        np.asarray(done_i).astype(bool), np.asarray(done_ref)
+    )
+    assert np.abs(np.asarray(q_seq[..., :3]) - np.asarray(q_ref)).max() < 1e-4
+    # final env state round-trips into a BreakoutState the next update
+    # (or the non-fused path) can consume
+    bs = breakout_from_state_matrix(st1, brick1)
+    for f in ("ball_y", "ball_x", "ball_dir", "pos", "last_y", "last_x", "time"):
+        assert np.array_equal(
+            np.asarray(getattr(bs, f)), np.asarray(getattr(final_st, f))
+        ), f
+    assert np.array_equal(
+        np.asarray(bs.brick_map), np.asarray(final_st.brick_map)
+    )
+
+
+def test_fused_rollout_autoreset_interpret():
+    """Deterministic-PRNG variant resets on a missed ball: park the paddle
+    far from the ball's landing column by zeroing the Q-path (fresh params
+    give near-uniform argmax; instead force termination via max_steps)."""
+    import numpy as np
+    from purejaxql_tpu.envs import make
+    from purejaxql_tpu.models.cnn import CNNQNetwork
+    from purejaxql_tpu.ops.pallas_rollout import (
+        breakout_rollout_pallas,
+        state_matrix_from_breakout,
+    )
+
+    B, T = 8, 6
+    env, params = make("Breakout-MinAtar")
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    _, state0 = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+    net = CNNQNetwork(action_dim=3, norm_type="layer_norm", norm_input=False)
+    variables = net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 10, 10, 4)), train=False
+    )
+    st0, brick0 = state_matrix_from_breakout(state0)
+    # max_steps=4 forces a time-limit done at step 4, then auto-reset
+    obs_seq, act, rew, done_i, q_seq, fobs, st1, brick1 = (
+        breakout_rollout_pallas(
+            jnp.asarray(0), jnp.asarray(0.0), variables["params"], st0,
+            brick0, T, use_prng=False, interpret=True, max_steps=4,
+        )
+    )
+    done = np.asarray(done_i).astype(bool)
+    assert done[3].all()  # every env hits the 4-step limit together
+    # post-reset state: ball back at y=3, side 0 (deterministic variant),
+    # paddle centered, full brick wall
+    st1 = np.asarray(st1)
+    obs5 = np.asarray(obs_seq)[4]           # first obs after the reset
+    assert (np.asarray(obs_seq)[4, :, 1:4, :, 3] == 1.0).all()  # bricks
+    assert (obs5[:, 9, 4, 0] == 1.0).all()  # paddle at column 4
