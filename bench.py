@@ -118,6 +118,13 @@ WORKLOADS = {
         headline=False,
         no_vmap=True,
     ),
+    "cartpole_fused": dict(
+        alg="pqn_cartpole",
+        overrides=["COLLECT_METRICS=False", "FUSED_ROLLOUT=True"],
+        total=int(5e5),
+        headline=False,
+        no_vmap=True,
+    ),
 }
 
 

@@ -160,15 +160,15 @@ def make_train(
     use_q_lambda = config.get("Q_LAMBDA", True)
     use_fused_rollout = config.get("FUSED_ROLLOUT", False)
     if use_fused_rollout and (
-        config["ENV_NAME"] != "Breakout-MinAtar"
+        config["ENV_NAME"] not in ("Breakout-MinAtar", "CartPole-v1")
         or mode != "split"
         or config.get("NORM_TYPE") != "layer_norm"
         or config.get("NORM_INPUT", False)
-        or config["NUM_ENVS"] % 8 != 0
+        or (config["ENV_NAME"] == "CartPole-v1" and config.get("NUM_LAYERS", 2) != 2)
     ):
         raise ValueError(
-            "FUSED_ROLLOUT currently supports Breakout-MinAtar with "
-            "layer_norm, NORM_INPUT=False, NUM_ENVS % 8 == 0 "
+            "FUSED_ROLLOUT currently supports Breakout-MinAtar and "
+            "CartPole-v1 (2-layer MLP) with layer_norm, NORM_INPUT=False "
             "(ops/pallas_rollout.py)"
         )
     metric_callback = logger.make_callback() if logger is not None else None
@@ -248,11 +248,7 @@ def make_train(
                 # eps-greedy in VMEM, hardware PRNG); Log-wrapper stats are
                 # replayed from the (reward, done) streams afterwards —
                 # see ops/pallas_rollout.py for the parity trade
-                from purejaxql_tpu.ops.pallas_rollout import (
-                    breakout_from_state_matrix,
-                    breakout_rollout_pallas,
-                    state_matrix_from_breakout,
-                )
+                from purejaxql_tpu.ops import pallas_rollout as pr
 
                 rng, _rng = jax.random.split(rng)
                 seed = jax.random.randint(
@@ -260,13 +256,27 @@ def make_train(
                 )
                 eps = eps_scheduler(train_state.n_updates)
                 last_obs, log_state = expl_state
-                st0, brick0 = state_matrix_from_breakout(log_state.env_state)
                 T = config["NUM_STEPS"]
-                (obs_seq, act, rew, done_i, q_seq, final_obs, st1, brick1) = (
-                    breakout_rollout_pallas(
-                        seed, eps, train_state.params, st0, brick0, T
+                if config["ENV_NAME"] == "CartPole-v1":
+                    stf0, sti0 = pr.state_matrix_from_cartpole(
+                        log_state.env_state
                     )
-                )
+                    (obs_seq, act, rew, done_i, q_seq, final_obs, a1, a2) = (
+                        pr.cartpole_rollout_pallas(
+                            seed, eps, train_state.params, stf0, sti0, T
+                        )
+                    )
+                    new_env_state = pr.cartpole_from_state_matrix(a1, a2)
+                else:
+                    st0, brick0 = pr.state_matrix_from_breakout(
+                        log_state.env_state
+                    )
+                    (obs_seq, act, rew, done_i, q_seq, final_obs, a1, a2) = (
+                        pr.breakout_rollout_pallas(
+                            seed, eps, train_state.params, st0, brick0, T
+                        )
+                    )
+                    new_env_state = pr.breakout_from_state_matrix(a1, a2)
                 next_obs = jnp.concatenate([obs_seq[1:], final_obs[None]], 0)
                 done = done_i.astype(bool)
                 transitions = Transition(
@@ -275,7 +285,7 @@ def make_train(
                     reward=rew_scale * rew,
                     done=done,
                     next_obs=next_obs,
-                    q_val=q_seq[..., :3],
+                    q_val=q_seq[..., :action_dim],
                 )
 
                 def _log_replay(carry, rd):
@@ -306,7 +316,7 @@ def make_train(
                     _log_replay, log_carry, (rew, done.astype(jnp.float32))
                 )
                 log_state = log_state.replace(
-                    env_state=breakout_from_state_matrix(st1, brick1),
+                    env_state=new_env_state,
                     episode_returns=ep_r,
                     episode_lengths=ep_l,
                     returned_episode_returns=ret_r,

@@ -383,3 +383,228 @@ def breakout_from_state_matrix(st, brick, terminal=None):
         last_y=st[_LY], last_x=st[_LX], terminal=terminal,
         time=st[_TIME],
     )
+
+
+# ======================================================================
+# CartPole fused rollout — same architecture, MLP net + analytic physics
+# ======================================================================
+
+def _mlp_ln(h, scale, bias):
+    return _layer_norm0(h, scale, bias)
+
+
+def _make_cartpole_kernel(num_steps: int, batch: int, use_prng: bool,
+                          max_steps: int):
+    B = batch
+    # CartPole-v1 constants (envs/classic/cartpole.py CartPoleParams)
+    G, POLEMASS_L, TOTAL_M = 9.8, 0.05, 1.1
+    LENGTH, MASSPOLE, FORCE, TAU = 0.5, 0.1, 10.0, 0.02
+    X_THR = 2.4
+    TH_THR = 12 * 2 * 3.141592653589793 / 360
+
+    def kernel(
+        seed_ref, eps_ref,
+        w1_ref, b1_ref, l1s_ref, l1b_ref,
+        w2_ref, b2_ref, l2s_ref, l2b_ref,
+        hw_ref, hb_ref,
+        stf0_ref, sti0_ref,
+        obs_out, scal_out, q_out, fobs_out, stf_out, sti_out,
+        stf, sti,
+    ):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            stf[:, :] = stf0_ref[:, :]
+            sti[:, :] = sti0_ref[:, :]
+
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + t)
+
+        s = stf[:, :]                     # (4, B): x, x_dot, theta, theta_dot
+        time = sti[:, :]                  # (1, B)
+        obs_out[0, :, :] = s
+
+        h1 = (
+            jnp.dot(w1_ref[:, :], s, preferred_element_type=jnp.float32)
+            + b1_ref[:, :]
+        )
+        h1 = jnp.maximum(_mlp_ln(h1, l1s_ref[:, :], l1b_ref[:, :]), 0.0)
+        h2 = (
+            jnp.dot(w2_ref[:, :], h1, preferred_element_type=jnp.float32)
+            + b2_ref[:, :]
+        )
+        h2 = jnp.maximum(_mlp_ln(h2, l2s_ref[:, :], l2b_ref[:, :]), 0.0)
+        q = (
+            jnp.dot(hw_ref[:, :], h2, preferred_element_type=jnp.float32)
+            + hb_ref[:, :]
+        )
+        q_out[0, :, :] = q
+        greedy = jnp.argmax(q, axis=0).astype(jnp.int32).reshape(1, B)
+
+        if use_prng:
+            ebits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            abits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            rbits = pltpu.bitcast(pltpu.prng_random_bits((4, B)), jnp.uint32)
+            u = (ebits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / (1 << 24)
+            )
+            rand_act = (abits >> 8).astype(jnp.int32) % 2
+            reset_f = (rbits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+                0.1 / (1 << 24)
+            ) - 0.05
+        else:
+            u = jnp.ones((1, B), jnp.float32)
+            rand_act = jnp.zeros((1, B), jnp.int32)
+            reset_f = jnp.zeros((4, B), jnp.float32)
+        act = jnp.where(u < eps_ref[0], rand_act, greedy).astype(jnp.float32)
+
+        # ---- physics (cartpole.py step_env, Euler) --------------------
+        x = s[0:1, :]
+        x_dot = s[1:2, :]
+        theta = s[2:3, :]
+        theta_dot = s[3:4, :]
+        force = FORCE * act - FORCE * (1.0 - act)
+        costh = jnp.cos(theta)
+        sinth = jnp.sin(theta)
+        temp = (force + POLEMASS_L * theta_dot * theta_dot * sinth) / TOTAL_M
+        thacc = (G * sinth - costh * temp) / (
+            LENGTH * (4.0 / 3.0 - MASSPOLE * costh * costh / TOTAL_M)
+        )
+        xacc = temp - POLEMASS_L * thacc * costh / TOTAL_M
+        nx = x + TAU * x_dot
+        nx_dot = x_dot + TAU * xacc
+        nth = theta + TAU * theta_dot
+        nth_dot = theta_dot + TAU * thacc
+        ntime = time + 1
+
+        oob = (jnp.abs(nx) > X_THR) | (jnp.abs(nth) > TH_THR)
+        done = oob | (ntime >= max_steps)
+        # reward: 1 unless the INCOMING state was terminal — post-reset
+        # states never are under auto-reset, so this stays exact
+        prev_oob = (jnp.abs(x) > X_THR) | (jnp.abs(theta) > TH_THR)
+        prev_done = prev_oob | (time >= max_steps)
+        reward = 1.0 - prev_done.astype(jnp.float32)
+
+        scal_out[0, :, :] = jnp.concatenate(
+            [
+                act,
+                reward,
+                done.astype(jnp.float32),
+                jnp.zeros((5, B), jnp.float32),
+            ],
+            axis=0,
+        )
+
+        nsf = jnp.concatenate([nx, nx_dot, nth, nth_dot], axis=0)
+        nsf = jnp.where(done, reset_f, nsf)
+        ntime = jnp.where(done, 0, ntime)
+        stf[:, :] = nsf
+        sti[:, :] = ntime
+
+        @pl.when(t == num_steps - 1)
+        def _():
+            stf_out[:, :] = nsf
+            sti_out[:, :] = ntime
+            fobs_out[:, :] = nsf
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_steps", "use_prng", "interpret", "max_steps"),
+)
+def cartpole_rollout_pallas(
+    seed: jax.Array,
+    eps: jax.Array,
+    params: dict,
+    stf0: jax.Array,      # (4, B) f32 [x, x_dot, theta, theta_dot]
+    sti0: jax.Array,      # (1, B) int32 time
+    num_steps: int,
+    use_prng: bool = True,
+    interpret: bool = False,
+    max_steps: int = 500,
+):
+    """CartPole analogue of `breakout_rollout_pallas` for the MLP
+    QNetwork (models/qnet.py, norm_input=False, layer_norm, 2 layers).
+    Returns (obs (T,B,4), act (T,B), rew (T,B), done (T,B) int32,
+    q (T,B,8), final_obs (B,4), stf (4,B), sti (1,B))."""
+    B = stf0.shape[1]
+    T = num_steps
+    p = params
+    w1 = p["Dense_0"]["kernel"].T                      # (H, 4)
+    b1 = p["Dense_0"]["bias"][:, None]
+    l1s = p["LayerNorm_0"]["scale"][:, None]
+    l1b = p["LayerNorm_0"]["bias"][:, None]
+    w2 = p["Dense_1"]["kernel"].T                      # (H, H)
+    b2 = p["Dense_1"]["bias"][:, None]
+    l2s = p["LayerNorm_1"]["scale"][:, None]
+    l2b = p["LayerNorm_1"]["bias"][:, None]
+    hw = jnp.pad(p["Dense_2"]["kernel"].T, ((0, _QPAD - 2), (0, 0)))
+    hb = jnp.pad(
+        p["Dense_2"]["bias"], (0, _QPAD - 2), constant_values=-1e9
+    )[:, None]
+
+    vm = pltpu.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *([pl.BlockSpec(memory_space=vm)] * 12),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 4, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, 4, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
+        jax.ShapeDtypeStruct((4, B), jnp.float32),
+        jax.ShapeDtypeStruct((4, B), jnp.float32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+    ]
+    kernel = _make_cartpole_kernel(T, B, use_prng, max_steps)
+    obs_cm, scal, q_cm, fobs_cm, stf, sti = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((4, B), jnp.float32),
+            pltpu.VMEM((1, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([eps], jnp.float32),
+        w1, b1, l1s, l1b, w2, b2, l2s, l2b, hw, hb,
+        stf0, sti0,
+    )
+    obs_seq = jnp.transpose(obs_cm, (0, 2, 1))          # (T, B, 4)
+    final_obs = fobs_cm.T                               # (B, 4)
+    act = scal[:, 0, :].astype(jnp.int32)
+    rew = scal[:, 1, :]
+    done = scal[:, 2, :].astype(jnp.int32)
+    q_seq = jnp.transpose(q_cm, (0, 2, 1))              # (T, B, 8)
+    return obs_seq, act, rew, done, q_seq, final_obs, stf, sti
+
+
+def state_matrix_from_cartpole(cstate) -> tuple:
+    st = jnp.stack(
+        [cstate.x, cstate.x_dot, cstate.theta, cstate.theta_dot], axis=0
+    ).astype(jnp.float32)
+    return st, cstate.time.astype(jnp.int32)[None, :]
+
+
+def cartpole_from_state_matrix(stf, sti):
+    from purejaxql_tpu.envs.classic.cartpole import CartPoleState
+
+    return CartPoleState(
+        x=stf[0], x_dot=stf[1], theta=stf[2], theta_dot=stf[3], time=sti[0]
+    )

@@ -30,4 +30,20 @@ def _cpu_tag():
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_test_cache_{_cpu_tag()}"
 )
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Full-suite single-process runs accumulate hundreds of live compiled
+    executables across the 8-device mesh; past ~130 tests the process
+    dies with SIGSEGV/SIGABRT in native code (thread/mapping exhaustion,
+    not Python-level OOM). Dropping the in-memory executable cache
+    between modules keeps the footprint flat — recompiles hit the on-disk
+    persistent cache."""
+    yield
+    import jax
+
+    jax.clear_caches()
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")

@@ -189,3 +189,56 @@ def test_fused_rollout_autoreset_interpret():
     obs5 = np.asarray(obs_seq)[4]           # first obs after the reset
     assert (np.asarray(obs_seq)[4, :, 1:4, :, 3] == 1.0).all()  # bricks
     assert (obs5[:, 9, 4, 0] == 1.0).all()  # paddle at column 4
+
+
+def test_fused_cartpole_interpret_exactness():
+    """CartPole fused rollout (PRNG off, greedy, no dones in 12 steps)
+    matches the XLA engine's physics, obs, actions, and rewards exactly."""
+    import numpy as np
+    from purejaxql_tpu.envs import make
+    from purejaxql_tpu.models.qnet import QNetwork
+    from purejaxql_tpu.ops.pallas_rollout import (
+        cartpole_from_state_matrix,
+        cartpole_rollout_pallas,
+        state_matrix_from_cartpole,
+    )
+
+    B, T = 16, 12
+    env, params = make("CartPole-v1")
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    obs0, state0 = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+    net = QNetwork(
+        action_dim=2, hidden_size=256, num_layers=2,
+        norm_type="layer_norm", norm_input=False,
+    )
+    variables = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 4)), train=False)
+
+    def ref_step(carry, _):
+        obs, st = carry
+        q = net.apply(variables, obs, train=False)
+        a = jnp.argmax(q, axis=-1)
+        o2, st2, r, d, _ = jax.vmap(env.step_env, in_axes=(0, 0, 0, None))(
+            jax.random.split(jax.random.PRNGKey(2), B), st, a, params
+        )
+        return (o2, st2), (obs, a, r, d, q)
+
+    (_, final_st), (obs_ref, act_ref, rew_ref, done_ref, _) = jax.lax.scan(
+        ref_step, (obs0, state0), None, T
+    )
+    assert not np.asarray(done_ref).any()  # exactness window has no resets
+    stf0, sti0 = state_matrix_from_cartpole(state0)
+    obs_seq, act, rew, done_i, q_seq, fobs, stf1, sti1 = (
+        cartpole_rollout_pallas(
+            jnp.asarray(0), jnp.asarray(0.0), variables["params"], stf0,
+            sti0, T, use_prng=False, interpret=True,
+        )
+    )
+    assert np.allclose(np.asarray(obs_seq), np.asarray(obs_ref), atol=1e-6)
+    assert np.array_equal(np.asarray(act), np.asarray(act_ref))
+    assert np.array_equal(np.asarray(rew), np.asarray(rew_ref))
+    cs = cartpole_from_state_matrix(stf1, sti1)
+    for f in ("x", "x_dot", "theta", "theta_dot"):
+        assert np.allclose(
+            np.asarray(getattr(cs, f)), np.asarray(getattr(final_st, f)),
+            atol=1e-6,
+        ), f
