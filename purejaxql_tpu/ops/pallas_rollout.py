@@ -80,6 +80,63 @@ def _board_masks(st, brick, row, col):
     return pad_m, ball_m, trail_m, brick.astype(jnp.float32)
 
 
+def _cnn_forward(
+    planes, cw_ref, cb_ref, l1s_ref, l1b_ref, dw_ref, db_ref, l2s_ref,
+    l2b_ref, hw_ref, hb_ref, B,
+):
+    """The MinAtar CNN forward in env-minor layout: 36-term conv FMA into
+    (16, 8, 8, B), leading-dim merge, one MXU matmul, padded head.
+    Shared by every MinAtar game kernel (same (10,10,4) obs shape)."""
+    h1 = jnp.zeros((16, 8, 8, B), jnp.float32) + cb_ref[:, :, :, :]
+    for di in range(3):
+        for dj in range(3):
+            for c in range(4):
+                k = (di * 3 + dj) * 4 + c
+                xk = planes[c][di : di + 8, dj : dj + 8, :].reshape(
+                    1, 8, 8, B
+                )
+                h1 = h1 + xk * cw_ref[k]
+    h1 = jnp.maximum(
+        _layer_norm0(h1, l1s_ref[:, :, :, :], l1b_ref[:, :, :, :]), 0.0
+    )
+    h2 = (
+        jnp.dot(
+            dw_ref[:, :], h1.reshape(1024, B),
+            preferred_element_type=jnp.float32,
+        )
+        + db_ref[:, :]
+    )
+    h2 = jnp.maximum(_layer_norm0(h2, l2s_ref[:, :], l2b_ref[:, :]), 0.0)
+    return (
+        jnp.dot(hw_ref[:, :], h2, preferred_element_type=jnp.float32)
+        + hb_ref[:, :]
+    )  # (8, B); padded rows carry a -1e9 bias
+
+
+def _pack_cnn_params(p, action_dim):
+    """Host-side weight prep shared by the MinAtar kernels: conv weights
+    term-indexed with /255 folded in, dense rows reordered from flax's
+    (i, j, f) flatten to the kernel's (f, i, j) merge, padded head."""
+    cw = (p["CNN_0"]["Conv_0"]["kernel"] / 255.0).reshape(36, 16)
+    cw = cw[:, :, None, None, None]                          # (36,16,1,1,1)
+    cb = p["CNN_0"]["Conv_0"]["bias"].reshape(16, 1, 1, 1)
+    l1s = p["CNN_0"]["LayerNorm_0"]["scale"].reshape(16, 1, 1, 1)
+    l1b = p["CNN_0"]["LayerNorm_0"]["bias"].reshape(16, 1, 1, 1)
+    dw = p["CNN_0"]["Dense_0"]["kernel"]                      # (1024, 128)
+    dw = dw.reshape(8, 8, 16, 128).transpose(2, 0, 1, 3).reshape(1024, 128)
+    dw = dw.T                                                 # (128, 1024)
+    db = p["CNN_0"]["Dense_0"]["bias"].reshape(128, 1)
+    l2s = p["CNN_0"]["LayerNorm_1"]["scale"].reshape(128, 1)
+    l2b = p["CNN_0"]["LayerNorm_1"]["bias"].reshape(128, 1)
+    hw = jnp.pad(
+        p["Dense_0"]["kernel"].T, ((0, _QPAD - action_dim), (0, 0))
+    )
+    hb = jnp.pad(
+        p["Dense_0"]["bias"], (0, _QPAD - action_dim), constant_values=-1e9
+    ).reshape(_QPAD, 1)
+    return cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb
+
+
 def _make_kernel(num_steps: int, batch: int, use_prng: bool, max_steps: int):
     B = batch
 
@@ -116,35 +173,10 @@ def _make_kernel(num_steps: int, batch: int, use_prng: bool, max_steps: int):
         obs_out[0, 2, :, :, :] = planes[2]
         obs_out[0, 3, :, :, :] = planes[3]
 
-        # 3x3 VALID conv: 36 broadcast-FMA terms into (16, 8, 8, B).
-        # cw_ref is host-prepared as (36, 16, 1, 1, 1), term index
-        # k = (di*3 + dj)*4 + c; 1/255 input scaling folded into weights.
-        h1 = jnp.zeros((16, 8, 8, B), jnp.float32) + cb_ref[:, :, :, :]
-        for di in range(3):
-            for dj in range(3):
-                for c in range(4):
-                    k = (di * 3 + dj) * 4 + c
-                    xk = planes[c][di : di + 8, dj : dj + 8, :].reshape(
-                        1, 8, 8, B
-                    )
-                    h1 = h1 + xk * cw_ref[k]
-        h1 = jnp.maximum(
-            _layer_norm0(h1, l1s_ref[:, :, :, :], l1b_ref[:, :, :, :]), 0.0
+        q = _cnn_forward(
+            planes, cw_ref, cb_ref, l1s_ref, l1b_ref, dw_ref, db_ref,
+            l2s_ref, l2b_ref, hw_ref, hb_ref, B,
         )
-        # dense: dw_ref host-reordered to (128, 1024) with input order
-        # (f, i, j) matching this leading-dim merge
-        h2 = (
-            jnp.dot(
-                dw_ref[:, :], h1.reshape(1024, B),
-                preferred_element_type=jnp.float32,
-            )
-            + db_ref[:, :]
-        )
-        h2 = jnp.maximum(_layer_norm0(h2, l2s_ref[:, :], l2b_ref[:, :]), 0.0)
-        q = (
-            jnp.dot(hw_ref[:, :], h2, preferred_element_type=jnp.float32)
-            + hb_ref[:, :]
-        )  # (8, B); rows 3.. carry -1e9 bias so argmax can't pick them
         q_out[0, :, :] = q
         greedy = jnp.argmax(q, axis=0).astype(jnp.int32).reshape(1, B)
 
@@ -286,25 +318,7 @@ def breakout_rollout_pallas(
     brick (10,10,B))."""
     B = st0.shape[1]
     T = num_steps
-    p = params
-    # conv weights with /255 input scaling folded in, term-indexed
-    cw = (p["CNN_0"]["Conv_0"]["kernel"] / 255.0).transpose(0, 1, 2, 3)
-    cw = cw.reshape(36, 16)[:, :, None, None, None]          # (36,16,1,1,1)
-    cb = p["CNN_0"]["Conv_0"]["bias"].reshape(16, 1, 1, 1)
-    l1s = p["CNN_0"]["LayerNorm_0"]["scale"].reshape(16, 1, 1, 1)
-    l1b = p["CNN_0"]["LayerNorm_0"]["bias"].reshape(16, 1, 1, 1)
-    # dense rows reordered from flax's (i, j, f) flatten to this kernel's
-    # (f, i, j) leading-dim merge, then transposed to (128, 1024)
-    dw = p["CNN_0"]["Dense_0"]["kernel"]                      # (1024, 128)
-    dw = dw.reshape(8, 8, 16, 128).transpose(2, 0, 1, 3).reshape(1024, 128)
-    dw = dw.T                                                 # (128, 1024)
-    db = p["CNN_0"]["Dense_0"]["bias"].reshape(128, 1)
-    l2s = p["CNN_0"]["LayerNorm_1"]["scale"].reshape(128, 1)
-    l2b = p["CNN_0"]["LayerNorm_1"]["bias"].reshape(128, 1)
-    hw = jnp.pad(p["Dense_0"]["kernel"].T, ((0, _QPAD - 3), (0, 0)))
-    hb = jnp.pad(
-        p["Dense_0"]["bias"], (0, _QPAD - 3), constant_values=-1e9
-    ).reshape(_QPAD, 1)
+    cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb = _pack_cnn_params(params, 3)
 
     vm = pltpu.ANY if interpret else pltpu.VMEM
     in_specs = [
@@ -607,4 +621,365 @@ def cartpole_from_state_matrix(stf, sti):
 
     return CartPoleState(
         x=stf[0], x_dot=stf[1], theta=stf[2], theta_dot=stf[3], time=sti[0]
+    )
+
+
+# ======================================================================
+# Asterix fused rollout — 8-slot entity table, same CNN
+# ======================================================================
+
+# state-matrix rows for Asterix (int32 (48, B); 42 used, padded to 48)
+_A_PX, _A_PY, _A_SSP, _A_STM, _A_MSP, _A_MTM = range(6)
+_A_RTM, _A_RIX, _A_TIME, _A_TERM = 6, 7, 8, 9
+_A_EE, _A_EX, _A_ELR, _A_EG = 10, 18, 26, 34  # 8-row blocks
+_A_ROWS = 48
+
+
+def _make_asterix_kernel(num_steps: int, batch: int, use_prng: bool,
+                         max_steps: int, ramp_interval: int,
+                         init_spawn: int, init_move: int):
+    B = batch
+
+    def kernel(
+        seed_ref, eps_ref,
+        cw_ref, cb_ref, l1s_ref, l1b_ref,
+        dw_ref, db_ref, l2s_ref, l2b_ref,
+        hw_ref, hb_ref,
+        st0_ref,
+        obs_out, scal_out, q_out, fobs_out, st_out,
+        st,
+    ):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            st[:, :] = st0_ref[:, :]
+
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + t)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (10, 10, B), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (10, 10, B), 1)
+
+        s = st[:, :]
+        px, py = s[_A_PX : _A_PX + 1, :], s[_A_PY : _A_PY + 1, :]
+        ee = s[_A_EE : _A_EE + 8, :]
+        ex = s[_A_EX : _A_EX + 8, :]
+        elr = s[_A_ELR : _A_ELR + 8, :]
+        eg = s[_A_EG : _A_EG + 8, :]
+
+        # ---- observation (asterix.py get_obs channel order:
+        # [player, enemy, trail, gold]; one (10,10,B) mask per slot row)
+        def entity_planes(ee, ex, elr, eg):
+            enemy_ch = jnp.zeros((10, 10, B), jnp.float32)
+            trail_ch = jnp.zeros((10, 10, B), jnp.float32)
+            gold_ch = jnp.zeros((10, 10, B), jnp.float32)
+            for r in range(8):
+                exr = ex[r : r + 1, :].reshape(1, 1, B)
+                eer = ee[r : r + 1, :].reshape(1, 1, B).astype(jnp.float32)
+                egr = eg[r : r + 1, :].reshape(1, 1, B).astype(jnp.float32)
+                elrr = elr[r : r + 1, :].reshape(1, 1, B)
+                rowm = row == (r + 1)
+                cm = (rowm & (col == exr)).astype(jnp.float32)
+                enemy_ch = enemy_ch + cm * eer * (1.0 - egr)
+                gold_ch = gold_ch + cm * eer * egr
+                txr = jnp.clip(exr + jnp.where(elrr > 0, -1, 1), 0, 9)
+                trail_ch = trail_ch + (
+                    rowm & (col == txr)
+                ).astype(jnp.float32) * eer
+            return enemy_ch, trail_ch, gold_ch
+
+        player_m = ((row == py.reshape(1, 1, B)) & (
+            col == px.reshape(1, 1, B)
+        )).astype(jnp.float32)
+        enemy_ch, trail_ch, gold_ch = entity_planes(ee, ex, elr, eg)
+        planes = (player_m, enemy_ch, trail_ch, gold_ch)
+        obs_out[0, 0, :, :, :] = planes[0]
+        obs_out[0, 1, :, :, :] = planes[1]
+        obs_out[0, 2, :, :, :] = planes[2]
+        obs_out[0, 3, :, :, :] = planes[3]
+
+        q = _cnn_forward(
+            planes, cw_ref, cb_ref, l1s_ref, l1b_ref, dw_ref, db_ref,
+            l2s_ref, l2b_ref, hw_ref, hb_ref, B,
+        )
+        q_out[0, :, :] = q
+        greedy = jnp.argmax(q, axis=0).astype(jnp.int32).reshape(1, B)
+
+        if use_prng:
+            ebits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            abits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            gbits = pltpu.bitcast(pltpu.prng_random_bits((8, B)), jnp.uint32)
+            lrbits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            gdbits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            u = (ebits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / (1 << 24)
+            )
+            rand_act = (abits >> 8).astype(jnp.int32) % 5
+            gumbel = (gbits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / (1 << 24)
+            )
+            lr = ((lrbits >> 8) & 1).astype(jnp.int32)
+            gold = (
+                (gdbits >> 8).astype(jnp.int32).astype(jnp.float32)
+                * (1.0 / (1 << 24))
+                < (1.0 / 3.0)
+            ).astype(jnp.int32)
+        else:
+            u = jnp.ones((1, B), jnp.float32)
+            rand_act = jnp.zeros((1, B), jnp.int32)
+            gumbel = jax.lax.broadcasted_iota(
+                jnp.float32, (8, B), 0
+            )  # deterministic: highest index wins among free slots
+            lr = jnp.zeros((1, B), jnp.int32)
+            gold = jnp.zeros((1, B), jnp.int32)
+        act = jnp.where(u < eps_ref[0], rand_act, greedy)
+
+        # ---- spawn (asterix.py step_env order: spawn, player move,
+        # collide, entity move, collide, ramp) ---------------------------
+        spawn_timer = s[_A_STM : _A_STM + 1, :]
+        spawn_speed = s[_A_SSP : _A_SSP + 1, :]
+        do_spawn = spawn_timer == 0
+        free = ee == 0
+        score = jnp.where(free, gumbel, -1.0)
+        best = jnp.max(score, axis=0, keepdims=True)
+        sel = (score == best) & free
+        # keep only the first tied row (Mosaic has no cumsum lowering:
+        # min-reduce the row index of the selected slots instead)
+        rowidx = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+        first = jnp.min(
+            jnp.where(sel, rowidx, 99), axis=0, keepdims=True
+        )
+        sel = sel & (rowidx == first)
+        any_free = free.any(axis=0).reshape(1, B)
+        spawn_now = (do_spawn & any_free).astype(jnp.int32)
+        take = sel.astype(jnp.int32) * spawn_now
+        ee = jnp.maximum(ee, take)
+        ex = jnp.where(take > 0, jnp.where(lr > 0, 0, 9), ex)
+        elr = jnp.where(take > 0, lr, elr)
+        eg = jnp.where(take > 0, gold, eg)
+        spawn_timer = jnp.where(do_spawn, spawn_speed, spawn_timer - 1)
+
+        # ---- player move (actions: noop, left, up, right, down) --------
+        px = jnp.clip(
+            px + (act == 3).astype(jnp.int32) - (act == 1).astype(jnp.int32),
+            0, 9,
+        )
+        py = jnp.clip(
+            py + (act == 4).astype(jnp.int32) - (act == 2).astype(jnp.int32),
+            1, 8,
+        )
+
+        rowsvec = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0) + 1
+        terminal = s[_A_TERM : _A_TERM + 1, :]
+        reward = jnp.zeros((1, B), jnp.float32)
+
+        def collide(ee, ex, eg, reward, terminal):
+            hit = (ee > 0) & (ex == px) & (rowsvec == py)
+            reward = reward + jnp.sum(
+                (hit & (eg > 0)).astype(jnp.float32), axis=0, keepdims=True
+            )
+            died = (hit & (eg == 0)).any(axis=0).reshape(1, B)
+            terminal = jnp.maximum(terminal, died.astype(jnp.int32))
+            ee = ee * (1 - hit.astype(jnp.int32))
+            return ee, reward, terminal
+
+        ee, reward, terminal = collide(ee, ex, eg, reward, terminal)
+
+        # ---- entity move ------------------------------------------------
+        move_timer = s[_A_MTM : _A_MTM + 1, :]
+        move_speed = s[_A_MSP : _A_MSP + 1, :]
+        do_move = move_timer == 0
+        movedx = ex + jnp.where(elr > 0, 1, -1)
+        off = (movedx < 0) | (movedx > 9)
+        ex = jnp.where(do_move & (ee > 0), movedx, ex)
+        ee = ee * (1 - (do_move & off).astype(jnp.int32))
+        ex = jnp.clip(ex, 0, 9)
+        move_timer = jnp.where(do_move, move_speed, move_timer - 1)
+
+        ee, reward, terminal = collide(ee, ex, eg, reward, terminal)
+
+        # ---- ramping ----------------------------------------------------
+        ramp_timer = s[_A_RTM : _A_RTM + 1, :]
+        ramp_index = s[_A_RIX : _A_RIX + 1, :]
+        can_ramp = (spawn_speed > 1) | (move_speed > 1)
+        do_ramp = can_ramp & (ramp_timer <= 0)
+        ramp_move = do_ramp & (ramp_index % 2 == 1) & (move_speed > 1)
+        ramp_spawn = do_ramp & (ramp_index % 2 == 0) & (spawn_speed > 1)
+        move_speed = move_speed - ramp_move.astype(jnp.int32)
+        spawn_speed = spawn_speed - ramp_spawn.astype(jnp.int32)
+        ramp_index = ramp_index + do_ramp.astype(jnp.int32)
+        ramp_timer = jnp.where(
+            do_ramp, ramp_interval, ramp_timer - can_ramp.astype(jnp.int32)
+        )
+
+        time = s[_A_TIME : _A_TIME + 1, :] + 1
+        done = (terminal > 0) | (time >= max_steps)
+        scal_out[0, :, :] = jnp.concatenate(
+            [
+                act.astype(jnp.float32),
+                reward,
+                done.astype(jnp.float32),
+                jnp.zeros((5, B), jnp.float32),
+            ],
+            axis=0,
+        )
+
+        # ---- auto-reset (deterministic: asterix.py reset_env) ----------
+        di = done.astype(jnp.int32)
+        ndi = 1 - di
+        px = px * ndi + 5 * di
+        py = py * ndi + 5 * di
+        ee = ee * ndi
+        # dead-slot attributes are masked everywhere, but zeroing them
+        # keeps the state matrix equal to the XLA reset state
+        ex = ex * ndi
+        elr = elr * ndi
+        eg = eg * ndi
+        spawn_speed = spawn_speed * ndi + init_spawn * di
+        spawn_timer = spawn_timer * ndi + init_spawn * di
+        move_speed = move_speed * ndi + init_move * di
+        move_timer = move_timer * ndi + init_move * di
+        ramp_timer = ramp_timer * ndi + ramp_interval * di
+        ramp_index = ramp_index * ndi
+        terminal = terminal * ndi
+        time = time * ndi
+
+        ns = jnp.concatenate(
+            [
+                px, py, spawn_speed, spawn_timer, move_speed, move_timer,
+                ramp_timer, ramp_index, time, terminal,
+                ee, ex, elr, eg,
+                jnp.zeros((_A_ROWS - 42, B), jnp.int32),
+            ],
+            axis=0,
+        )
+        st[:, :] = ns
+
+        @pl.when(t == num_steps - 1)
+        def _():
+            st_out[:, :] = ns
+            npx = ns[_A_PX : _A_PX + 1, :].reshape(1, 1, B)
+            npy = ns[_A_PY : _A_PY + 1, :].reshape(1, 1, B)
+            fp = ((row == npy) & (col == npx)).astype(jnp.float32)
+            fe, ft, fg = entity_planes(
+                ns[_A_EE : _A_EE + 8, :], ns[_A_EX : _A_EX + 8, :],
+                ns[_A_ELR : _A_ELR + 8, :], ns[_A_EG : _A_EG + 8, :],
+            )
+            fobs_out[0, :, :, :] = fp
+            fobs_out[1, :, :, :] = fe
+            fobs_out[2, :, :, :] = ft
+            fobs_out[3, :, :, :] = fg
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_steps", "use_prng", "interpret", "max_steps",
+        "ramp_interval", "init_spawn", "init_move",
+    ),
+)
+def asterix_rollout_pallas(
+    seed: jax.Array,
+    eps: jax.Array,
+    params: dict,
+    st0: jax.Array,       # (48, B) int32 state matrix (env-minor)
+    num_steps: int,
+    use_prng: bool = True,
+    interpret: bool = False,
+    max_steps: int = 1000,
+    ramp_interval: int = 100,
+    init_spawn: int = 10,
+    init_move: int = 5,
+):
+    """Asterix analogue of `breakout_rollout_pallas` (5 actions).
+    Returns (obs (T,B,10,10,4), act, rew, done int32, q (T,B,8),
+    final_obs (B,10,10,4), st (48,B))."""
+    B = st0.shape[1]
+    T = num_steps
+    cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb = _pack_cnn_params(params, 5)
+
+    vm = pltpu.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *([pl.BlockSpec(memory_space=vm)] * 11),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 4, 10, 10, B), lambda t: (t, 0, 0, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, 4, 10, 10, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
+        jax.ShapeDtypeStruct((4, 10, 10, B), jnp.float32),
+        jax.ShapeDtypeStruct((_A_ROWS, B), jnp.int32),
+    ]
+    kernel = _make_asterix_kernel(
+        T, B, use_prng, max_steps, ramp_interval, init_spawn, init_move
+    )
+    obs_cm, scal, q_cm, fobs_cm, st = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((_A_ROWS, B), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([eps], jnp.float32),
+        cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb,
+        st0,
+    )
+    obs_seq = jnp.transpose(obs_cm, (0, 4, 2, 3, 1))
+    final_obs = jnp.transpose(fobs_cm, (3, 1, 2, 0))
+    act = scal[:, 0, :].astype(jnp.int32)
+    rew = scal[:, 1, :]
+    done = scal[:, 2, :].astype(jnp.int32)
+    q_seq = jnp.transpose(q_cm, (0, 2, 1))
+    return obs_seq, act, rew, done, q_seq, final_obs, st
+
+
+def state_matrix_from_asterix(astate) -> jax.Array:
+    B = astate.player_x.shape[0]
+    rows = [
+        astate.player_x, astate.player_y, astate.spawn_speed,
+        astate.spawn_timer, astate.move_speed, astate.move_timer,
+        astate.ramp_timer, astate.ramp_index, astate.time,
+        astate.terminal.astype(jnp.int32),
+    ]
+    st = jnp.stack(rows, axis=0).astype(jnp.int32)
+    return jnp.concatenate(
+        [
+            st,
+            astate.e_exists.astype(jnp.int32).T,
+            astate.e_x.astype(jnp.int32).T,
+            astate.e_lr.astype(jnp.int32).T,
+            astate.e_gold.astype(jnp.int32).T,
+            jnp.zeros((_A_ROWS - 42, B), jnp.int32),
+        ],
+        axis=0,
+    )
+
+
+def asterix_from_state_matrix(st):
+    from purejaxql_tpu.envs.minatar.asterix import AsterixState
+
+    return AsterixState(
+        player_x=st[_A_PX], player_y=st[_A_PY],
+        e_exists=st[_A_EE : _A_EE + 8].T.astype(bool),
+        e_x=st[_A_EX : _A_EX + 8].T,
+        e_lr=st[_A_ELR : _A_ELR + 8].T.astype(bool),
+        e_gold=st[_A_EG : _A_EG + 8].T.astype(bool),
+        spawn_speed=st[_A_SSP], spawn_timer=st[_A_STM],
+        move_speed=st[_A_MSP], move_timer=st[_A_MTM],
+        ramp_timer=st[_A_RTM], ramp_index=st[_A_RIX],
+        terminal=st[_A_TERM].astype(bool), time=st[_A_TIME],
     )

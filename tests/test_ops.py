@@ -242,3 +242,70 @@ def test_fused_cartpole_interpret_exactness():
             np.asarray(getattr(cs, f)), np.asarray(getattr(final_st, f)),
             atol=1e-6,
         ), f
+
+
+def test_fused_asterix_interpret_exactness():
+    """Asterix fused rollout (PRNG off) with hand-placed entities and
+    spawns pushed out matches the XLA engine (auto-reset env.step —
+    Asterix's reset is deterministic) on obs/actions/rewards/dones and
+    round-trips the final state."""
+    import numpy as np
+    from purejaxql_tpu.envs import make
+    from purejaxql_tpu.models.cnn import CNNQNetwork
+    from purejaxql_tpu.ops.pallas_rollout import (
+        asterix_from_state_matrix,
+        asterix_rollout_pallas,
+        state_matrix_from_asterix,
+    )
+
+    B, T = 16, 8
+    env, params = make("Asterix-MinAtar")
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    obs0, state0 = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+    state0 = state0.replace(
+        spawn_timer=jnp.full((B,), 50, jnp.int32),
+        e_exists=jnp.zeros((B, 8), bool).at[:, 1].set(True).at[:, 4].set(True),
+        e_x=jnp.zeros((B, 8), jnp.int32).at[:, 1].set(7).at[:, 4].set(2),
+        e_lr=jnp.zeros((B, 8), bool).at[:, 4].set(True),
+        e_gold=jnp.zeros((B, 8), bool).at[:, 1].set(True),
+        move_timer=jnp.full((B,), 1, jnp.int32),
+    )
+    net = CNNQNetwork(action_dim=5, norm_type="layer_norm", norm_input=False)
+    variables = net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 10, 10, 4)), train=False
+    )
+
+    def ref_step(carry, _):
+        obs, st = carry
+        q = net.apply(variables, obs, train=False)
+        a = jnp.argmax(q, axis=-1)
+        o2, st2, r, d, _ = jax.vmap(env.step, in_axes=(0, 0, 0, None))(
+            jax.random.split(jax.random.PRNGKey(2), B), st, a, params
+        )
+        return (o2, st2), (obs, a, r, d, q)
+
+    obs_init = jax.vmap(env.get_obs)(state0)
+    (_, final_st), (obs_ref, act_ref, rew_ref, done_ref, _) = jax.lax.scan(
+        ref_step, (obs_init, state0), None, T
+    )
+    st0 = state_matrix_from_asterix(state0)
+    obs_seq, act, rew, done_i, q_seq, fobs, st1 = asterix_rollout_pallas(
+        jnp.asarray(0), jnp.asarray(0.0), variables["params"], st0,
+        T, use_prng=False, interpret=True,
+    )
+    assert np.allclose(np.asarray(obs_seq), np.asarray(obs_ref))
+    assert np.array_equal(np.asarray(act), np.asarray(act_ref))
+    assert np.array_equal(np.asarray(rew), np.asarray(rew_ref))
+    assert np.array_equal(
+        np.asarray(done_i).astype(bool), np.asarray(done_ref)
+    )
+    a2 = asterix_from_state_matrix(st1)
+    for f in (
+        "player_x", "player_y", "e_x", "spawn_timer", "move_timer", "time"
+    ):
+        assert np.array_equal(
+            np.asarray(getattr(a2, f)), np.asarray(getattr(final_st, f))
+        ), f
+    assert np.array_equal(
+        np.asarray(a2.e_exists), np.asarray(final_st.e_exists)
+    )
