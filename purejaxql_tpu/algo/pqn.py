@@ -161,16 +161,19 @@ def make_train(
     use_fused_rollout = config.get("FUSED_ROLLOUT", False)
     if use_fused_rollout and (
         config["ENV_NAME"]
-        not in ("Breakout-MinAtar", "Asterix-MinAtar", "CartPole-v1")
+        not in (
+            "Breakout-MinAtar", "Asterix-MinAtar", "Freeway-MinAtar",
+            "SpaceInvaders-MinAtar", "CartPole-v1",
+        )
         or mode != "split"
         or config.get("NORM_TYPE") != "layer_norm"
         or config.get("NORM_INPUT", False)
         or (config["ENV_NAME"] == "CartPole-v1" and config.get("NUM_LAYERS", 2) != 2)
     ):
         raise ValueError(
-            "FUSED_ROLLOUT currently supports Breakout-MinAtar, "
-            "Asterix-MinAtar, and CartPole-v1 (2-layer MLP) with "
-            "layer_norm, NORM_INPUT=False (ops/pallas_rollout.py)"
+            "FUSED_ROLLOUT supports Breakout/Asterix/Freeway/SpaceInvaders"
+            "-MinAtar and CartPole-v1 (2-layer MLP) with layer_norm, "
+            "NORM_INPUT=False (ops/pallas_rollout.py)"
         )
     metric_callback = logger.make_callback() if logger is not None else None
     collect_metrics = config.get("COLLECT_METRICS", True)
@@ -276,6 +279,27 @@ def make_train(
                         )
                     )
                     new_env_state = pr.asterix_from_state_matrix(a1)
+                elif config["ENV_NAME"] == "Freeway-MinAtar":
+                    st0 = pr.state_matrix_from_freeway(log_state.env_state)
+                    (obs_seq, act, rew, done_i, q_seq, final_obs, a1) = (
+                        pr.freeway_rollout_pallas(
+                            seed, eps, train_state.params, st0, T
+                        )
+                    )
+                    new_env_state = pr.freeway_from_state_matrix(a1)
+                elif config["ENV_NAME"] == "SpaceInvaders-MinAtar":
+                    packed = pr.state_matrix_from_space_invaders(
+                        log_state.env_state
+                    )
+                    (
+                        obs_seq, act, rew, done_i, q_seq, final_obs,
+                        a1, a2, a3, a4,
+                    ) = pr.space_invaders_rollout_pallas(
+                        seed, eps, train_state.params, *packed, T
+                    )
+                    new_env_state = pr.space_invaders_from_state_matrix(
+                        a1, a2, a3, a4
+                    )
                 else:
                     st0, brick0 = pr.state_matrix_from_breakout(
                         log_state.env_state

@@ -84,14 +84,15 @@ def _cnn_forward(
     planes, cw_ref, cb_ref, l1s_ref, l1b_ref, dw_ref, db_ref, l2s_ref,
     l2b_ref, hw_ref, hb_ref, B,
 ):
-    """The MinAtar CNN forward in env-minor layout: 36-term conv FMA into
-    (16, 8, 8, B), leading-dim merge, one MXU matmul, padded head.
-    Shared by every MinAtar game kernel (same (10,10,4) obs shape)."""
+    """The MinAtar CNN forward in env-minor layout: 9*C-term conv FMA
+    into (16, 8, 8, B), leading-dim merge, one MXU matmul, padded head.
+    Shared by every MinAtar game kernel (C = number of obs channels)."""
+    C = len(planes)
     h1 = jnp.zeros((16, 8, 8, B), jnp.float32) + cb_ref[:, :, :, :]
     for di in range(3):
         for dj in range(3):
-            for c in range(4):
-                k = (di * 3 + dj) * 4 + c
+            for c in range(C):
+                k = (di * 3 + dj) * C + c
                 xk = planes[c][di : di + 8, dj : dj + 8, :].reshape(
                     1, 8, 8, B
                 )
@@ -113,11 +114,11 @@ def _cnn_forward(
     )  # (8, B); padded rows carry a -1e9 bias
 
 
-def _pack_cnn_params(p, action_dim):
+def _pack_cnn_params(p, action_dim, n_channels=4):
     """Host-side weight prep shared by the MinAtar kernels: conv weights
     term-indexed with /255 folded in, dense rows reordered from flax's
     (i, j, f) flatten to the kernel's (f, i, j) merge, padded head."""
-    cw = (p["CNN_0"]["Conv_0"]["kernel"] / 255.0).reshape(36, 16)
+    cw = (p["CNN_0"]["Conv_0"]["kernel"] / 255.0).reshape(9 * n_channels, 16)
     cw = cw[:, :, None, None, None]                          # (36,16,1,1,1)
     cb = p["CNN_0"]["Conv_0"]["bias"].reshape(16, 1, 1, 1)
     l1s = p["CNN_0"]["LayerNorm_0"]["scale"].reshape(16, 1, 1, 1)
@@ -982,4 +983,664 @@ def asterix_from_state_matrix(st):
         move_speed=st[_A_MSP], move_timer=st[_A_MTM],
         ramp_timer=st[_A_RTM], ramp_index=st[_A_RIX],
         terminal=st[_A_TERM].astype(bool), time=st[_A_TIME],
+    )
+
+
+# ======================================================================
+# Freeway fused rollout — 8 car lanes, 7 obs channels, same CNN trunk
+# ======================================================================
+
+# state-matrix rows for Freeway (int32 (32, B); 27 used)
+_F_POS, _F_MTM, _F_TIME = range(3)
+_F_CX, _F_CTM, _F_CSP = 3, 11, 19  # 8-row blocks (car x, timer, signed speed)
+_F_ROWS = 32
+
+
+def _freeway_planes(pos, cx, csp, row, col, B):
+    """The 7 obs channel planes (freeway.py get_obs): chicken at column 4,
+    cars, and a speed trail behind each car on channel 1+|speed|."""
+    chicken = ((row == pos.reshape(1, 1, B)) & (col == 4)).astype(jnp.float32)
+    car_ch = jnp.zeros((10, 10, B), jnp.float32)
+    speed_chs = [jnp.zeros((10, 10, B), jnp.float32) for _ in range(5)]
+    for r in range(8):
+        rowm = row == (r + 1)
+        cxr = cx[r : r + 1, :].reshape(1, 1, B)
+        cspr = csp[r : r + 1, :].reshape(1, 1, B)
+        car_ch = car_ch + (rowm & (col == cxr)).astype(jnp.float32)
+        bx = cxr + jnp.where(cspr > 0, -1, 1)
+        bx = jnp.where(bx < 0, 9, jnp.where(bx > 9, 0, bx))
+        bm = (rowm & (col == bx)).astype(jnp.float32)
+        aspd = jnp.abs(cspr).astype(jnp.float32)
+        for sch in range(5):
+            speed_chs[sch] = speed_chs[sch] + bm * (aspd == (sch + 1))
+    return (chicken, car_ch, *speed_chs)
+
+
+def _make_freeway_kernel(num_steps: int, batch: int, use_prng: bool,
+                         max_steps: int, player_speed: int):
+    B = batch
+
+    def kernel(
+        seed_ref, eps_ref,
+        cw_ref, cb_ref, l1s_ref, l1b_ref,
+        dw_ref, db_ref, l2s_ref, l2b_ref,
+        hw_ref, hb_ref,
+        st0_ref,
+        obs_out, scal_out, q_out, fobs_out, st_out,
+        st,
+    ):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            st[:, :] = st0_ref[:, :]
+
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + t)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (10, 10, B), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (10, 10, B), 1)
+
+        s = st[:, :]
+        pos = s[_F_POS : _F_POS + 1, :]
+        move_timer = s[_F_MTM : _F_MTM + 1, :]
+        cx = s[_F_CX : _F_CX + 8, :]
+        ctm = s[_F_CTM : _F_CTM + 8, :]
+        csp = s[_F_CSP : _F_CSP + 8, :]
+
+        planes = _freeway_planes(pos, cx, csp, row, col, B)
+        for c in range(7):
+            obs_out[0, c, :, :, :] = planes[c]
+
+        q = _cnn_forward(
+            planes, cw_ref, cb_ref, l1s_ref, l1b_ref, dw_ref, db_ref,
+            l2s_ref, l2b_ref, hw_ref, hb_ref, B,
+        )
+        q_out[0, :, :] = q
+        greedy = jnp.argmax(q, axis=0).astype(jnp.int32).reshape(1, B)
+
+        if use_prng:
+            ebits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            abits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            spbits = pltpu.bitcast(pltpu.prng_random_bits((8, B)), jnp.uint32)
+            drbits = pltpu.bitcast(pltpu.prng_random_bits((8, B)), jnp.uint32)
+            u = (ebits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / (1 << 24)
+            )
+            rand_act = (abits >> 8).astype(jnp.int32) % 3
+            new_speeds = ((spbits >> 8).astype(jnp.int32) % 5) + 1  # 1..5
+            new_dirs = jnp.where(((drbits >> 8) & 1) > 0, 1, -1)
+        else:
+            u = jnp.ones((1, B), jnp.float32)
+            rand_act = jnp.zeros((1, B), jnp.int32)
+            new_speeds = jnp.full((8, B), 3, jnp.int32)
+            new_dirs = jnp.full((8, B), 1, jnp.int32)
+        act = jnp.where(u < eps_ref[0], rand_act, greedy)
+
+        # ---- chicken move (freeway.py step_env: 3-step cooldown) -------
+        can_move = move_timer == 0
+        wants = act != 0
+        moved = can_move & wants
+        pos = jnp.clip(
+            pos + jnp.where(moved, jnp.where(act == 1, -1, 1), 0), 0, 9
+        )
+        move_timer = jnp.where(
+            moved, player_speed, jnp.maximum(move_timer - 1, 0)
+        )
+
+        # ---- scoring: top row re-randomizes car speeds -----------------
+        scored = pos == 0
+        reward = scored.astype(jnp.float32)
+        signed = new_speeds * new_dirs
+        ctm = jnp.where(scored, new_speeds, ctm)
+        csp = jnp.where(scored, signed, csp)
+        pos = jnp.where(scored, 9, pos)
+
+        # ---- car movement + collision at column 4 ----------------------
+        rowsvec = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0) + 1
+        hit_before = ((cx == 4) & (rowsvec == pos)).any(
+            axis=0
+        ).reshape(1, B)
+        do_move = ctm <= 0
+        nx = cx + jnp.where(csp > 0, 1, -1)
+        nx = jnp.where(nx < 0, 9, jnp.where(nx > 9, 0, nx))
+        cx = jnp.where(do_move, nx, cx)
+        ctm = jnp.where(do_move, jnp.abs(csp), ctm - 1)
+        hit_after = ((cx == 4) & (rowsvec == pos)).any(axis=0).reshape(1, B)
+        pos = jnp.where(hit_before | hit_after, 9, pos)
+
+        time = s[_F_TIME : _F_TIME + 1, :] + 1
+        done = time >= max_steps
+        scal_out[0, :, :] = jnp.concatenate(
+            [
+                act.astype(jnp.float32),
+                reward,
+                done.astype(jnp.float32),
+                jnp.zeros((5, B), jnp.float32),
+            ],
+            axis=0,
+        )
+
+        # ---- auto-reset (reset_env re-randomizes x too; reuse the step's
+        # speed draws and derive fresh x from their bits) -----------------
+        di = done.astype(jnp.int32)
+        ndi = 1 - di
+        if use_prng:
+            xb = pltpu.bitcast(pltpu.prng_random_bits((8, B)), jnp.uint32)
+            reset_x = (xb >> 8).astype(jnp.int32) % 10
+        else:
+            reset_x = jnp.zeros((8, B), jnp.int32)
+        pos = pos * ndi + 9 * di
+        move_timer = move_timer * ndi
+        cx = jnp.where(di > 0, reset_x, cx)
+        ctm = jnp.where(di > 0, new_speeds, ctm)
+        csp = jnp.where(di > 0, signed, csp)
+        time = time * ndi
+
+        ns = jnp.concatenate(
+            [
+                pos, move_timer, time, cx, ctm, csp,
+                jnp.zeros((_F_ROWS - 27, B), jnp.int32),
+            ],
+            axis=0,
+        )
+        st[:, :] = ns
+
+        @pl.when(t == num_steps - 1)
+        def _():
+            st_out[:, :] = ns
+            fp = _freeway_planes(
+                ns[_F_POS : _F_POS + 1, :], ns[_F_CX : _F_CX + 8, :],
+                ns[_F_CSP : _F_CSP + 8, :], row, col, B,
+            )
+            for c in range(7):
+                fobs_out[c, :, :, :] = fp[c]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_steps", "use_prng", "interpret", "max_steps", "player_speed",
+    ),
+)
+def freeway_rollout_pallas(
+    seed: jax.Array,
+    eps: jax.Array,
+    params: dict,
+    st0: jax.Array,       # (32, B) int32 state matrix (env-minor)
+    num_steps: int,
+    use_prng: bool = True,
+    interpret: bool = False,
+    max_steps: int = 2500,
+    player_speed: int = 3,
+):
+    """Freeway analogue (3 actions, 7 obs channels). Returns
+    (obs (T,B,10,10,7), act, rew, done int32, q (T,B,8),
+    final_obs (B,10,10,7), st (32,B))."""
+    B = st0.shape[1]
+    T = num_steps
+    cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb = _pack_cnn_params(
+        params, 3, n_channels=7
+    )
+
+    vm = pltpu.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *([pl.BlockSpec(memory_space=vm)] * 11),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 7, 10, 10, B), lambda t: (t, 0, 0, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, 7, 10, 10, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
+        jax.ShapeDtypeStruct((7, 10, 10, B), jnp.float32),
+        jax.ShapeDtypeStruct((_F_ROWS, B), jnp.int32),
+    ]
+    kernel = _make_freeway_kernel(T, B, use_prng, max_steps, player_speed)
+    obs_cm, scal, q_cm, fobs_cm, st = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((_F_ROWS, B), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([eps], jnp.float32),
+        cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb,
+        st0,
+    )
+    obs_seq = jnp.transpose(obs_cm, (0, 4, 2, 3, 1))
+    final_obs = jnp.transpose(fobs_cm, (3, 1, 2, 0))
+    act = scal[:, 0, :].astype(jnp.int32)
+    rew = scal[:, 1, :]
+    done = scal[:, 2, :].astype(jnp.int32)
+    q_seq = jnp.transpose(q_cm, (0, 2, 1))
+    return obs_seq, act, rew, done, q_seq, final_obs, st
+
+
+def state_matrix_from_freeway(fstate) -> jax.Array:
+    B = fstate.pos.shape[0]
+    head = jnp.stack(
+        [fstate.pos, fstate.move_timer, fstate.time], axis=0
+    ).astype(jnp.int32)
+    return jnp.concatenate(
+        [
+            head,
+            fstate.car_x.astype(jnp.int32).T,
+            fstate.car_timer.astype(jnp.int32).T,
+            fstate.car_speed.astype(jnp.int32).T,
+            jnp.zeros((_F_ROWS - 27, B), jnp.int32),
+        ],
+        axis=0,
+    )
+
+
+def freeway_from_state_matrix(st):
+    from purejaxql_tpu.envs.minatar.freeway import FreewayState
+
+    B = st.shape[1]
+    return FreewayState(
+        pos=st[_F_POS],
+        car_x=st[_F_CX : _F_CX + 8].T,
+        car_timer=st[_F_CTM : _F_CTM + 8].T,
+        car_speed=st[_F_CSP : _F_CSP + 8].T,
+        move_timer=st[_F_MTM],
+        terminal=jnp.zeros((B,), bool),
+        time=st[_F_TIME],
+    )
+
+
+# ======================================================================
+# SpaceInvaders fused rollout — 3 board maps, RNG-free env dynamics
+# ======================================================================
+
+# scalar rows (int32 (16, B); 9 used)
+_S_POS, _S_DIR, _S_EMI, _S_AMT, _S_AST, _S_RIX, _S_SHT, _S_TERM, _S_TIME = (
+    range(9)
+)
+_S_ROWS = 16
+
+
+def _si_planes(pos, adir, alien, fmap, emap, row, col, B):
+    """The 6 obs channel planes (space_invaders.py get_obs)."""
+    cannon = ((row == 9) & (col == pos.reshape(1, 1, B))).astype(jnp.float32)
+    af = alien.astype(jnp.float32)
+    adirb = (adir < 0).reshape(1, 1, B)
+    return (
+        cannon,
+        af,
+        jnp.where(adirb, af, 0.0),
+        jnp.where(~adirb, af, 0.0),
+        fmap.astype(jnp.float32),
+        emap.astype(jnp.float32),
+    )
+
+
+def _make_si_kernel(num_steps: int, batch: int, use_prng: bool,
+                    max_steps: int, shot_cd: int, shot_interval: int):
+    B = batch
+
+    def kernel(
+        seed_ref, eps_ref,
+        cw_ref, cb_ref, l1s_ref, l1b_ref,
+        dw_ref, db_ref, l2s_ref, l2b_ref,
+        hw_ref, hb_ref,
+        st0_ref, alien0_ref, fmap0_ref, emap0_ref,
+        obs_out, scal_out, q_out, fobs_out, st_out,
+        alien_out, fmap_out, emap_out,
+        st, alien_s, fmap_s, emap_s,
+    ):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            st[:, :] = st0_ref[:, :]
+            alien_s[:, :, :] = alien0_ref[:, :, :]
+            fmap_s[:, :, :] = fmap0_ref[:, :, :]
+            emap_s[:, :, :] = emap0_ref[:, :, :]
+
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + t)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (10, 10, B), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (10, 10, B), 1)
+
+        s = st[:, :]
+        pos = s[_S_POS : _S_POS + 1, :]
+        adir = s[_S_DIR : _S_DIR + 1, :]
+        alien = alien_s[:, :, :]
+        fmap = fmap_s[:, :, :]
+        emap = emap_s[:, :, :]
+
+        planes = _si_planes(pos, adir, alien, fmap, emap, row, col, B)
+        for c in range(6):
+            obs_out[0, c, :, :, :] = planes[c]
+
+        q = _cnn_forward(
+            planes, cw_ref, cb_ref, l1s_ref, l1b_ref, dw_ref, db_ref,
+            l2s_ref, l2b_ref, hw_ref, hb_ref, B,
+        )
+        q_out[0, :, :] = q
+        greedy = jnp.argmax(q, axis=0).astype(jnp.int32).reshape(1, B)
+
+        if use_prng:
+            ebits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            abits = pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+            u = (ebits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / (1 << 24)
+            )
+            rand_act = (abits >> 8).astype(jnp.int32) % 4
+        else:
+            u = jnp.ones((1, B), jnp.float32)
+            rand_act = jnp.zeros((1, B), jnp.int32)
+        act = jnp.where(u < eps_ref[0], rand_act, greedy)
+
+        # ---- cannon: move + fire (space_invaders.py step_env) ----------
+        shot_timer = s[_S_SHT : _S_SHT + 1, :]
+        fire = (act == 3) & (shot_timer == 0)
+        pos = jnp.clip(
+            pos + (act == 2).astype(jnp.int32) - (act == 1).astype(jnp.int32),
+            0, 9,
+        )
+        fire_m = (row == 9) & (col == pos.reshape(1, 1, B))
+        fmap = jnp.maximum(
+            fmap, (fire_m & fire.reshape(1, 1, B)).astype(jnp.int32)
+        )
+        shot_timer = jnp.where(
+            fire, shot_cd, jnp.maximum(shot_timer - 1, 0)
+        )
+
+        # ---- bullets travel (shift with zero-fill == the env's
+        # roll+clear; wrap never matters pre-terminal) --------------------
+        fmap = jnp.concatenate(
+            [fmap[1:, :, :], jnp.zeros((1, 10, B), jnp.int32)], axis=0
+        )
+        emap = jnp.concatenate(
+            [jnp.zeros((1, 10, B), jnp.int32), emap[:-1, :, :]], axis=0
+        )
+        terminal = s[_S_TERM : _S_TERM + 1, :]
+        hit = jnp.sum(
+            emap * ((row == 9) & (col == pos.reshape(1, 1, B))).astype(
+                jnp.int32
+            ),
+            axis=(0, 1),
+        ).reshape(1, B)
+        terminal = jnp.maximum(terminal, (hit > 0).astype(jnp.int32))
+
+        # ---- alien march -------------------------------------------------
+        amt = s[_S_AMT : _S_AMT + 1, :]
+        emi = s[_S_EMI : _S_EMI + 1, :]
+        do_move = amt == 0
+        col0 = jnp.sum(alien[:, 0, :], axis=0).reshape(1, B)
+        col9 = jnp.sum(alien[:, 9, :], axis=0).reshape(1, B)
+        at_edge = ((col0 > 0) & (adir < 0)) | ((col9 > 0) & (adir > 0))
+        drop = do_move & at_edge
+        shift = do_move & ~at_edge
+        row9 = jnp.sum(alien[9, :, :], axis=0).reshape(1, B)
+        terminal = jnp.maximum(
+            terminal, (drop & (row9 > 0)).astype(jnp.int32)
+        )
+        new_dir = jnp.where(drop, -adir, adir)
+        dropped = jnp.concatenate(
+            [jnp.zeros((1, 10, B), jnp.int32), alien[:-1, :, :]], axis=0
+        )
+        shifted_l = jnp.concatenate(
+            [alien[:, 1:, :], jnp.zeros((10, 1, B), jnp.int32)], axis=1
+        )
+        shifted_r = jnp.concatenate(
+            [jnp.zeros((10, 1, B), jnp.int32), alien[:, :-1, :]], axis=1
+        )
+        alien = jnp.where(
+            drop.reshape(1, 1, B),
+            dropped,
+            jnp.where(
+                shift.reshape(1, 1, B),
+                jnp.where(
+                    (adir < 0).reshape(1, 1, B), shifted_l, shifted_r
+                ),
+                alien,
+            ),
+        )
+        n_alien = jnp.sum(alien, axis=(0, 1)).reshape(1, B)
+        amt = jnp.where(do_move, jnp.minimum(n_alien, emi), amt - 1)
+        under = jnp.sum(
+            alien * ((row == 9) & (col == pos.reshape(1, 1, B))).astype(
+                jnp.int32
+            ),
+            axis=(0, 1),
+        ).reshape(1, B)
+        terminal = jnp.maximum(terminal, (under > 0).astype(jnp.int32))
+
+        # ---- alien shoots from the column nearest the cannon ------------
+        ast = s[_S_AST : _S_AST + 1, :]
+        do_shoot = ast == 0
+        colidx = jax.lax.broadcasted_iota(jnp.int32, (10, B), 0)
+        col_has = jnp.sum(alien, axis=0) > 0                     # (10, B)
+        col_dist = jnp.where(
+            col_has, jnp.abs(colidx - pos), 100
+        )
+        dmin = jnp.min(col_dist, axis=0, keepdims=True)
+        is_min = (col_dist == dmin) & col_has
+        shoot_col = jnp.min(
+            jnp.where(is_min, colidx, 99), axis=0, keepdims=True
+        )  # argmin-first semantics
+        colm = (col == shoot_col.reshape(1, 1, B)).astype(jnp.int32)
+        col_aliens = jnp.sum(alien * colm, axis=1)               # (10, B)
+        rowidx = jax.lax.broadcasted_iota(jnp.int32, (10, B), 0)
+        shoot_row = jnp.max(
+            jnp.where(col_aliens > 0, rowidx, -1), axis=0, keepdims=True
+        )
+        can_shoot = do_shoot & col_has.any(axis=0).reshape(1, B)
+        shot_m = (
+            (row == jnp.maximum(shoot_row, 0).reshape(1, 1, B))
+            & (col == shoot_col.reshape(1, 1, B))
+            & can_shoot.reshape(1, 1, B)
+        )
+        emap = jnp.maximum(emap, shot_m.astype(jnp.int32))
+        ast = jnp.where(do_shoot, shot_interval, ast - 1)
+
+        # ---- kills -------------------------------------------------------
+        kill = alien * fmap
+        reward = jnp.sum(kill, axis=(0, 1)).reshape(1, B).astype(jnp.float32)
+        alien = alien * (1 - kill)
+        fmap = fmap * (1 - kill)
+
+        # ---- wave cleared: respawn + ramp ---------------------------------
+        wave = (
+            (row >= 0) & (row <= 3) & (col >= 2) & (col <= 7)
+        ).astype(jnp.int32)
+        cleared = jnp.sum(alien, axis=(0, 1)).reshape(1, B) == 0
+        alien = jnp.where(cleared.reshape(1, 1, B), wave, alien)
+        rix = s[_S_RIX : _S_RIX + 1, :]
+        emi = jnp.where(cleared & (emi > 6), emi - 1, emi)
+        rix = rix + cleared.astype(jnp.int32)
+
+        time = s[_S_TIME : _S_TIME + 1, :] + 1
+        done = (terminal > 0) | (time >= max_steps)
+        scal_out[0, :, :] = jnp.concatenate(
+            [
+                act.astype(jnp.float32),
+                reward,
+                done.astype(jnp.float32),
+                jnp.zeros((5, B), jnp.float32),
+            ],
+            axis=0,
+        )
+
+        # ---- auto-reset (deterministic) -----------------------------------
+        di = done.astype(jnp.int32)
+        ndi = 1 - di
+        d3 = di.reshape(1, 1, B)
+        pos = pos * ndi + 5 * di
+        adir = new_dir * ndi + (-1) * di
+        emi = emi * ndi + 12 * di
+        amt = amt * ndi + 12 * di
+        ast = ast * ndi + shot_interval * di
+        rix = rix * ndi
+        shot_timer = shot_timer * ndi
+        terminal = terminal * ndi
+        time = time * ndi
+        alien = jnp.where(d3 > 0, wave, alien)
+        fmap = fmap * (1 - d3)
+        emap = emap * (1 - d3)
+
+        ns = jnp.concatenate(
+            [
+                pos, adir, emi, amt, ast, rix, shot_timer, terminal, time,
+                jnp.zeros((_S_ROWS - 9, B), jnp.int32),
+            ],
+            axis=0,
+        )
+        st[:, :] = ns
+        alien_s[:, :, :] = alien
+        fmap_s[:, :, :] = fmap
+        emap_s[:, :, :] = emap
+
+        @pl.when(t == num_steps - 1)
+        def _():
+            st_out[:, :] = ns
+            alien_out[:, :, :] = alien
+            fmap_out[:, :, :] = fmap
+            emap_out[:, :, :] = emap
+            fp = _si_planes(pos, adir, alien, fmap, emap, row, col, B)
+            for c in range(6):
+                fobs_out[c, :, :, :] = fp[c]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_steps", "use_prng", "interpret", "max_steps", "shot_cd",
+        "shot_interval",
+    ),
+)
+def space_invaders_rollout_pallas(
+    seed: jax.Array,
+    eps: jax.Array,
+    params: dict,
+    st0: jax.Array,       # (16, B) int32 scalars (env-minor)
+    alien0: jax.Array,    # (10, 10, B) int32
+    fmap0: jax.Array,
+    emap0: jax.Array,
+    num_steps: int,
+    use_prng: bool = True,
+    interpret: bool = False,
+    max_steps: int = 1000,
+    shot_cd: int = 5,
+    shot_interval: int = 10,
+):
+    """SpaceInvaders analogue (4 actions, 6 obs channels, RNG-free env).
+    Returns (obs (T,B,10,10,6), act, rew, done int32, q (T,B,8),
+    final_obs (B,10,10,6), st (16,B), alien, fmap, emap (10,10,B))."""
+    B = st0.shape[1]
+    T = num_steps
+    cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb = _pack_cnn_params(
+        params, 4, n_channels=6
+    )
+
+    vm = pltpu.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *([pl.BlockSpec(memory_space=vm)] * 14),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 6, 10, 10, B), lambda t: (t, 0, 0, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, 6, 10, 10, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
+        jax.ShapeDtypeStruct((6, 10, 10, B), jnp.float32),
+        jax.ShapeDtypeStruct((_S_ROWS, B), jnp.int32),
+        jax.ShapeDtypeStruct((10, 10, B), jnp.int32),
+        jax.ShapeDtypeStruct((10, 10, B), jnp.int32),
+        jax.ShapeDtypeStruct((10, 10, B), jnp.int32),
+    ]
+    kernel = _make_si_kernel(T, B, use_prng, max_steps, shot_cd, shot_interval)
+    (obs_cm, scal, q_cm, fobs_cm, st, alien, fmap, emap) = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((_S_ROWS, B), jnp.int32),
+            pltpu.VMEM((10, 10, B), jnp.int32),
+            pltpu.VMEM((10, 10, B), jnp.int32),
+            pltpu.VMEM((10, 10, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([eps], jnp.float32),
+        cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb,
+        st0, alien0, fmap0, emap0,
+    )
+    obs_seq = jnp.transpose(obs_cm, (0, 4, 2, 3, 1))
+    final_obs = jnp.transpose(fobs_cm, (3, 1, 2, 0))
+    act = scal[:, 0, :].astype(jnp.int32)
+    rew = scal[:, 1, :]
+    done = scal[:, 2, :].astype(jnp.int32)
+    q_seq = jnp.transpose(q_cm, (0, 2, 1))
+    return obs_seq, act, rew, done, q_seq, final_obs, st, alien, fmap, emap
+
+
+def state_matrix_from_space_invaders(sstate) -> tuple:
+    B = sstate.pos.shape[0]
+    st = jnp.stack(
+        [
+            sstate.pos, sstate.alien_dir, sstate.enemy_move_interval,
+            sstate.alien_move_timer, sstate.alien_shot_timer,
+            sstate.ramp_index, sstate.shot_timer,
+            sstate.terminal.astype(jnp.int32), sstate.time,
+        ],
+        axis=0,
+    ).astype(jnp.int32)
+    st = jnp.concatenate(
+        [st, jnp.zeros((_S_ROWS - 9, B), jnp.int32)], axis=0
+    )
+    tr = lambda m: jnp.transpose(m.astype(jnp.int32), (1, 2, 0))
+    return st, tr(sstate.alien_map), tr(sstate.f_bullet_map), tr(
+        sstate.e_bullet_map
+    )
+
+
+def space_invaders_from_state_matrix(st, alien, fmap, emap):
+    from purejaxql_tpu.envs.minatar.space_invaders import SpaceInvadersState
+
+    tr = lambda m: jnp.transpose(m, (2, 0, 1))
+    return SpaceInvadersState(
+        pos=st[_S_POS],
+        f_bullet_map=tr(fmap),
+        e_bullet_map=tr(emap),
+        alien_map=tr(alien),
+        alien_dir=st[_S_DIR],
+        enemy_move_interval=st[_S_EMI],
+        alien_move_timer=st[_S_AMT],
+        alien_shot_timer=st[_S_AST],
+        ramp_index=st[_S_RIX],
+        shot_timer=st[_S_SHT],
+        terminal=st[_S_TERM].astype(bool),
+        time=st[_S_TIME],
     )

@@ -309,3 +309,109 @@ def test_fused_asterix_interpret_exactness():
     assert np.array_equal(
         np.asarray(a2.e_exists), np.asarray(final_st.e_exists)
     )
+
+
+def test_fused_freeway_interpret_exactness():
+    """Freeway fused rollout (PRNG off, no score/reset in 8 steps —
+    reaching the top needs ~27) matches the XLA engine exactly."""
+    import numpy as np
+    from purejaxql_tpu.envs import make
+    from purejaxql_tpu.models.cnn import CNNQNetwork
+    from purejaxql_tpu.ops.pallas_rollout import (
+        freeway_from_state_matrix,
+        freeway_rollout_pallas,
+        state_matrix_from_freeway,
+    )
+
+    B, T = 16, 8
+    env, params = make("Freeway-MinAtar")
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    obs0, state0 = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+    net = CNNQNetwork(action_dim=3, norm_type="layer_norm", norm_input=False)
+    variables = net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 10, 10, 7)), train=False
+    )
+
+    def ref_step(carry, _):
+        obs, st = carry
+        q = net.apply(variables, obs, train=False)
+        a = jnp.argmax(q, axis=-1)
+        o2, st2, r, d, _ = jax.vmap(env.step, in_axes=(0, 0, 0, None))(
+            jax.random.split(jax.random.PRNGKey(2), B), st, a, params
+        )
+        return (o2, st2), (obs, a, r, d)
+
+    (_, final_st), (obs_ref, act_ref, rew_ref, done_ref) = jax.lax.scan(
+        ref_step, (obs0, state0), None, T
+    )
+    st0 = state_matrix_from_freeway(state0)
+    obs_seq, act, rew, done_i, _, _, st1 = freeway_rollout_pallas(
+        jnp.asarray(0), jnp.asarray(0.0), variables["params"], st0,
+        T, use_prng=False, interpret=True,
+    )
+    assert np.allclose(np.asarray(obs_seq), np.asarray(obs_ref))
+    assert np.array_equal(np.asarray(act), np.asarray(act_ref))
+    assert np.array_equal(np.asarray(rew), np.asarray(rew_ref))
+    f2 = freeway_from_state_matrix(st1)
+    for f in ("pos", "car_x", "car_timer", "car_speed", "move_timer", "time"):
+        assert np.array_equal(
+            np.asarray(getattr(f2, f)), np.asarray(getattr(final_st, f))
+        ), f
+
+
+def test_fused_space_invaders_interpret_exactness():
+    """SpaceInvaders fused rollout over 40 steps — the env is RNG-free,
+    so marches, drops, shots, kills, wave respawns, deaths, AND
+    auto-resets are all compared bit-for-bit against the XLA engine."""
+    import numpy as np
+    from purejaxql_tpu.envs import make
+    from purejaxql_tpu.models.cnn import CNNQNetwork
+    from purejaxql_tpu.ops.pallas_rollout import (
+        space_invaders_from_state_matrix,
+        space_invaders_rollout_pallas,
+        state_matrix_from_space_invaders,
+    )
+
+    B, T = 16, 40
+    env, params = make("SpaceInvaders-MinAtar")
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    obs0, state0 = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+    net = CNNQNetwork(action_dim=4, norm_type="layer_norm", norm_input=False)
+    variables = net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 10, 10, 6)), train=False
+    )
+
+    def ref_step(carry, _):
+        obs, st = carry
+        q = net.apply(variables, obs, train=False)
+        a = jnp.argmax(q, axis=-1)
+        o2, st2, r, d, _ = jax.vmap(env.step, in_axes=(0, 0, 0, None))(
+            jax.random.split(jax.random.PRNGKey(2), B), st, a, params
+        )
+        return (o2, st2), (obs, a, r, d)
+
+    (_, final_st), (obs_ref, act_ref, rew_ref, done_ref) = jax.lax.scan(
+        ref_step, (obs0, state0), None, T
+    )
+    assert np.asarray(rew_ref).sum() > 0  # kills actually occurred
+    assert np.asarray(done_ref).sum() > 0  # deaths + resets occurred
+    packed = state_matrix_from_space_invaders(state0)
+    obs_seq, act, rew, done_i, _, _, st1, al1, fm1, em1 = (
+        space_invaders_rollout_pallas(
+            jnp.asarray(0), jnp.asarray(0.0), variables["params"],
+            *packed, T, use_prng=False, interpret=True,
+        )
+    )
+    assert np.allclose(np.asarray(obs_seq), np.asarray(obs_ref))
+    assert np.array_equal(np.asarray(act), np.asarray(act_ref))
+    assert np.array_equal(np.asarray(rew), np.asarray(rew_ref))
+    assert np.array_equal(
+        np.asarray(done_i).astype(bool), np.asarray(done_ref)
+    )
+    s2 = space_invaders_from_state_matrix(st1, al1, fm1, em1)
+    assert np.array_equal(
+        np.asarray(s2.alien_map), np.asarray(final_st.alien_map)
+    )
+    assert np.array_equal(
+        np.asarray(s2.e_bullet_map), np.asarray(final_st.e_bullet_map)
+    )
