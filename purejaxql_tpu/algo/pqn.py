@@ -163,7 +163,7 @@ def make_train(
         config["ENV_NAME"]
         not in (
             "Breakout-MinAtar", "Asterix-MinAtar", "Freeway-MinAtar",
-            "SpaceInvaders-MinAtar", "CartPole-v1",
+            "SpaceInvaders-MinAtar", "Seaquest-MinAtar", "CartPole-v1",
         )
         or mode != "split"
         or config.get("NORM_TYPE") != "layer_norm"
@@ -171,9 +171,9 @@ def make_train(
         or (config["ENV_NAME"] == "CartPole-v1" and config.get("NUM_LAYERS", 2) != 2)
     ):
         raise ValueError(
-            "FUSED_ROLLOUT supports Breakout/Asterix/Freeway/SpaceInvaders"
-            "-MinAtar and CartPole-v1 (2-layer MLP) with layer_norm, "
-            "NORM_INPUT=False (ops/pallas_rollout.py)"
+            "FUSED_ROLLOUT supports all five MinAtar games and CartPole-v1 "
+            "(2-layer MLP) with layer_norm, NORM_INPUT=False "
+            "(ops/pallas_rollout.py)"
         )
     metric_callback = logger.make_callback() if logger is not None else None
     collect_metrics = config.get("COLLECT_METRICS", True)
@@ -287,6 +287,14 @@ def make_train(
                         )
                     )
                     new_env_state = pr.freeway_from_state_matrix(a1)
+                elif config["ENV_NAME"] == "Seaquest-MinAtar":
+                    st0 = pr.state_matrix_from_seaquest(log_state.env_state)
+                    (obs_seq, act, rew, done_i, q_seq, final_obs, a1) = (
+                        pr.seaquest_rollout_pallas(
+                            seed, eps, train_state.params, st0, T
+                        )
+                    )
+                    new_env_state = pr.seaquest_from_state_matrix(a1)
                 elif config["ENV_NAME"] == "SpaceInvaders-MinAtar":
                     packed = pr.state_matrix_from_space_invaders(
                         log_state.env_state

@@ -1644,3 +1644,545 @@ def space_invaders_from_state_matrix(st, alien, fmap, emap):
         terminal=st[_S_TERM].astype(bool),
         time=st[_S_TIME],
     )
+
+
+# ======================================================================
+# Seaquest fused rollout — five entity pools, oxygen economy, 10 channels
+# ======================================================================
+
+# scalar rows (int32 (128, B) total; every row used)
+_Q_SX, _Q_SY, _Q_SOR, _Q_OXY, _Q_DVR, _Q_SHT = range(6)
+_Q_SPT, _Q_DST, _Q_MVI, _Q_SRF, _Q_TERM, _Q_TIME = range(6, 12)
+_Q_F = 12    # fish: EE/X/Y/DIR/TMR x8 rows each
+_Q_S = 52    # subs: EE/X/Y/DIR/TMR/SST x4 rows each
+_Q_FB = 76   # friendly bullets: EE/X/Y/DIR x4
+_Q_EB = 92   # enemy bullets: EE/X/Y/DIR x4
+_Q_D = 108   # divers: EE/X/Y/DIR/TMR x4
+_Q_ROWS = 128
+
+
+def _first_free(free, gumbel):
+    """One-hot of a uniformly random free slot (argmax-first semantics)."""
+    n = free.shape[0]
+    score = jnp.where(free, gumbel, -1.0)
+    best = jnp.max(score, axis=0, keepdims=True)
+    sel = (score == best) & free
+    idx = jax.lax.broadcasted_iota(jnp.int32, free.shape, 0)
+    first = jnp.min(jnp.where(sel, idx, 99), axis=0, keepdims=True)
+    sel = sel & (idx == first)
+    return sel.astype(jnp.int32), free.any(axis=0, keepdims=True)
+
+
+def _pool_mask(ee, xx, yy, row, col, B):
+    """Accumulated one-hot board (10, 10, B) of a pool's live entities
+    (counts can exceed 1; callers clamp like the env's min(obs, 1))."""
+    out = jnp.zeros((10, 10, B), jnp.float32)
+    for r in range(ee.shape[0]):
+        m = (
+            (row == yy[r : r + 1, :].reshape(1, 1, B))
+            & (col == xx[r : r + 1, :].reshape(1, 1, B))
+        ).astype(jnp.float32)
+        out = out + m * ee[r : r + 1, :].reshape(1, 1, B).astype(jnp.float32)
+    return out
+
+
+def _seaquest_planes(s, row, col, B, max_oxygen):
+    """The 10 obs channel planes (seaquest.py get_obs)."""
+    sx = s[_Q_SX : _Q_SX + 1, :].reshape(1, 1, B)
+    sy = s[_Q_SY : _Q_SY + 1, :].reshape(1, 1, B)
+    sor = s[_Q_SOR : _Q_SOR + 1, :].reshape(1, 1, B)
+    front = ((row == sy) & (col == sx)).astype(jnp.float32)
+    bx = jnp.clip(sx + jnp.where(sor == 1, -1, 1), 0, 9)
+    back = ((row == sy) & (col == bx)).astype(jnp.float32)
+
+    fbE, fbX, fbY = (
+        s[_Q_FB : _Q_FB + 4, :], s[_Q_FB + 4 : _Q_FB + 8, :],
+        s[_Q_FB + 8 : _Q_FB + 12, :],
+    )
+    fbD = s[_Q_FB + 12 : _Q_FB + 16, :]
+    fb_ch = _pool_mask(fbE, fbX, fbY, row, col, B)
+    tr_ch = _pool_mask(fbE, jnp.clip(fbX - fbD, 0, 9), fbY, row, col, B)
+    sub_ch = _pool_mask(
+        s[_Q_S : _Q_S + 4, :], s[_Q_S + 4 : _Q_S + 8, :],
+        s[_Q_S + 8 : _Q_S + 12, :], row, col, B,
+    )
+    eb_ch = _pool_mask(
+        s[_Q_EB : _Q_EB + 4, :], s[_Q_EB + 4 : _Q_EB + 8, :],
+        s[_Q_EB + 8 : _Q_EB + 12, :], row, col, B,
+    )
+    fish_ch = _pool_mask(
+        s[_Q_F : _Q_F + 8, :], s[_Q_F + 8 : _Q_F + 16, :],
+        s[_Q_F + 16 : _Q_F + 24, :], row, col, B,
+    )
+    d_ch = _pool_mask(
+        s[_Q_D : _Q_D + 4, :], s[_Q_D + 4 : _Q_D + 8, :],
+        s[_Q_D + 8 : _Q_D + 12, :], row, col, B,
+    )
+    oxy = s[_Q_OXY : _Q_OXY + 1, :].reshape(1, 1, B)
+    oxy_cells = jnp.clip((oxy * 10) // max_oxygen, 0, 9)
+    gauge_o = ((row == 9) & (col < oxy_cells)).astype(jnp.float32)
+    dvr = s[_Q_DVR : _Q_DVR + 1, :].reshape(1, 1, B)
+    gauge_d = ((row == 9) & (col < dvr)).astype(jnp.float32)
+    clamp = lambda p: jnp.minimum(p, 1.0)
+    return (
+        clamp(front), clamp(back), clamp(fb_ch), clamp(tr_ch),
+        clamp(sub_ch), clamp(eb_ch), clamp(fish_ch), clamp(d_ch),
+        gauge_o, gauge_d,
+    )
+
+
+def _make_seaquest_kernel(num_steps: int, batch: int, use_prng: bool,
+                          max_steps: int, max_oxygen: int, spawn_speed: int,
+                          diver_speed: int, move_interval0: int,
+                          shot_cd: int, eshot_interval: int):
+    B = batch
+
+    def kernel(
+        seed_ref, eps_ref,
+        cw_ref, cb_ref, l1s_ref, l1b_ref,
+        dw_ref, db_ref, l2s_ref, l2b_ref,
+        hw_ref, hb_ref,
+        st0_ref,
+        obs_out, scal_out, q_out, fobs_out, st_out,
+        st,
+    ):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            st[:, :] = st0_ref[:, :]
+
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + t)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (10, 10, B), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (10, 10, B), 1)
+
+        s = st[:, :]
+        planes = _seaquest_planes(s, row, col, B, max_oxygen)
+        for c in range(10):
+            obs_out[0, c, :, :, :] = planes[c]
+
+        q = _cnn_forward(
+            planes, cw_ref, cb_ref, l1s_ref, l1b_ref, dw_ref, db_ref,
+            l2s_ref, l2b_ref, hw_ref, hb_ref, B,
+        )
+        q_out[0, :, :] = q
+        greedy = jnp.argmax(q, axis=0).astype(jnp.int32).reshape(1, B)
+
+        def bits01(shape):
+            b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            return (b >> 8).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / (1 << 24)
+            )
+
+        if use_prng:
+            u = bits01((1, B))
+            rand_act = (
+                pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+                >> 8
+            ).astype(jnp.int32) % 6
+            g_fb, g_eb = bits01((4, B)), bits01((4, B))
+            g_f, g_s, g_d = bits01((8, B)), bits01((4, B)), bits01((4, B))
+            lane = (
+                pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32)
+                >> 8
+            ).astype(jnp.int32) % 8 + 1
+            lr = (
+                (pltpu.bitcast(pltpu.prng_random_bits((1, B)), jnp.uint32) >> 8)
+                & 1
+            ).astype(jnp.int32)
+            is_sub = (bits01((1, B)) < (1.0 / 3.0)).astype(jnp.int32)
+        else:
+            u = jnp.ones((1, B), jnp.float32)
+            rand_act = jnp.zeros((1, B), jnp.int32)
+            neg_iota8 = -jax.lax.broadcasted_iota(jnp.float32, (8, B), 0)
+            g_fb, g_eb = neg_iota8[:4], neg_iota8[:4]
+            g_f, g_s, g_d = neg_iota8, neg_iota8[:4], neg_iota8[:4]
+            lane = jnp.full((1, B), 4, jnp.int32)
+            lr = jnp.zeros((1, B), jnp.int32)
+            is_sub = jnp.zeros((1, B), jnp.int32)
+        act = jnp.where(u < eps_ref[0], rand_act, greedy)
+
+        # ---- player (seaquest.py step_env order) ------------------------
+        sub_x = jnp.clip(
+            s[_Q_SX : _Q_SX + 1, :]
+            + (act == 3).astype(jnp.int32) - (act == 1).astype(jnp.int32),
+            0, 9,
+        )
+        sub_y = jnp.clip(
+            s[_Q_SY : _Q_SY + 1, :]
+            + (act == 4).astype(jnp.int32) - (act == 2).astype(jnp.int32),
+            0, 8,
+        )
+        sub_or = jnp.where(
+            act == 1, 0, jnp.where(act == 3, 1, s[_Q_SOR : _Q_SOR + 1, :])
+        )
+
+        shot_timer = s[_Q_SHT : _Q_SHT + 1, :]
+        fire = (act == 5) & (shot_timer == 0)
+        fbE = s[_Q_FB : _Q_FB + 4, :]
+        fbX = s[_Q_FB + 4 : _Q_FB + 8, :]
+        fbY = s[_Q_FB + 8 : _Q_FB + 12, :]
+        fbD = s[_Q_FB + 12 : _Q_FB + 16, :]
+        sel_fb, fb_free = _first_free(fbE == 0, g_fb)
+        do_fire = (fire & fb_free).astype(jnp.int32)
+        take = sel_fb * do_fire
+        fbE = jnp.maximum(fbE, take)
+        fbX = jnp.where(take > 0, sub_x, fbX)
+        fbY = jnp.where(take > 0, sub_y, fbY)
+        fbD = jnp.where(take > 0, jnp.where(sub_or == 1, 1, -1), fbD)
+        shot_timer = jnp.where(
+            do_fire > 0, shot_cd, jnp.maximum(shot_timer - 1, 0)
+        )
+
+        # ---- bullets move every step -------------------------------------
+        fbX = jnp.where(fbE > 0, fbX + fbD, fbX)
+        fbE = fbE * ((fbX >= 0) & (fbX <= 9)).astype(jnp.int32)
+        fbX = jnp.clip(fbX, 0, 9)
+        ebE = s[_Q_EB : _Q_EB + 4, :]
+        ebX = s[_Q_EB + 4 : _Q_EB + 8, :]
+        ebY = s[_Q_EB + 8 : _Q_EB + 12, :]
+        ebD = s[_Q_EB + 12 : _Q_EB + 16, :]
+        ebX = jnp.where(ebE > 0, ebX + ebD, ebX)
+        ebE = ebE * ((ebX >= 0) & (ebX <= 9)).astype(jnp.int32)
+        ebX = jnp.clip(ebX, 0, 9)
+
+        # ---- enemies move on cadence -------------------------------------
+        mvi = s[_Q_MVI : _Q_MVI + 1, :]
+
+        def lane_move(ee, xx, yy, dd, tmr, interval):
+            do_move = tmr <= 0
+            nx = xx + jnp.where(do_move & (ee > 0), dd, 0)
+            off = (nx < 0) | (nx > 9)
+            ee = ee * (1 - (do_move & off).astype(jnp.int32))
+            nx = jnp.clip(nx, 0, 9)
+            tmr = jnp.where(do_move, interval, tmr - 1)
+            return ee, nx, yy, tmr
+
+        fE, fX, fY, fT = lane_move(
+            s[_Q_F : _Q_F + 8, :], s[_Q_F + 8 : _Q_F + 16, :],
+            s[_Q_F + 16 : _Q_F + 24, :], s[_Q_F + 24 : _Q_F + 32, :],
+            s[_Q_F + 32 : _Q_F + 40, :], mvi,
+        )
+        fD = s[_Q_F + 24 : _Q_F + 32, :]
+        sE, sX, sY, sT = lane_move(
+            s[_Q_S : _Q_S + 4, :], s[_Q_S + 4 : _Q_S + 8, :],
+            s[_Q_S + 8 : _Q_S + 12, :], s[_Q_S + 12 : _Q_S + 16, :],
+            s[_Q_S + 16 : _Q_S + 20, :], mvi,
+        )
+        sD = s[_Q_S + 12 : _Q_S + 16, :]
+        dE, dX, dY, dT = lane_move(
+            s[_Q_D : _Q_D + 4, :], s[_Q_D + 4 : _Q_D + 8, :],
+            s[_Q_D + 8 : _Q_D + 12, :], s[_Q_D + 12 : _Q_D + 16, :],
+            s[_Q_D + 16 : _Q_D + 20, :], mvi * 2,
+        )
+        dD = s[_Q_D + 12 : _Q_D + 16, :]
+
+        # ---- enemy subs shoot (first eligible sub, one per step) ---------
+        sST = s[_Q_S + 20 : _Q_S + 24, :] - sE
+        wants = (sE > 0) & (sST <= 0)
+        idx4 = jax.lax.broadcasted_iota(jnp.int32, (4, B), 0)
+        shooter_idx = jnp.min(
+            jnp.where(wants, idx4, 99), axis=0, keepdims=True
+        )
+        shooter_sel = (idx4 == shooter_idx) & wants
+        can_shoot = wants.any(axis=0).reshape(1, B)
+        sel_eb, eb_free = _first_free(ebE == 0, g_eb)
+        do_eshot = (can_shoot & eb_free).astype(jnp.int32)
+        take_eb = sel_eb * do_eshot
+        sh_x = jnp.sum(sX * shooter_sel.astype(jnp.int32), axis=0).reshape(1, B)
+        sh_y = jnp.sum(sY * shooter_sel.astype(jnp.int32), axis=0).reshape(1, B)
+        sh_d = jnp.sum(sD * shooter_sel.astype(jnp.int32), axis=0).reshape(1, B)
+        ebE = jnp.maximum(ebE, take_eb)
+        ebX = jnp.where(take_eb > 0, sh_x, ebX)
+        ebY = jnp.where(take_eb > 0, sh_y, ebY)
+        ebD = jnp.where(take_eb > 0, sh_d, ebD)
+        sST = jnp.where(
+            shooter_sel & (do_eshot > 0), eshot_interval, sST
+        )
+
+        # ---- friendly bullets hit enemies --------------------------------
+        def hit_matrix(bE, bX, bY, eE, eX, eY):
+            return (
+                (bE > 0).reshape(bE.shape[0], 1, B)
+                & (eE > 0).reshape(1, eE.shape[0], B)
+                & (bX.reshape(bE.shape[0], 1, B) == eX.reshape(1, eE.shape[0], B))
+                & (bY.reshape(bE.shape[0], 1, B) == eY.reshape(1, eE.shape[0], B))
+            )
+
+        fh = hit_matrix(fbE, fbX, fbY, fE, fX, fY)      # (4, 8, B)
+        sh = hit_matrix(fbE, fbX, fbY, sE, sX, sY)      # (4, 4, B)
+        reward = (
+            jnp.sum(fh.any(axis=0).astype(jnp.float32), axis=0)
+            + jnp.sum(sh.any(axis=0).astype(jnp.float32), axis=0)
+        ).reshape(1, B)
+        fE = fE * (1 - fh.any(axis=0).astype(jnp.int32))
+        sE = sE * (1 - sh.any(axis=0).astype(jnp.int32))
+        fbE = fbE * (
+            1 - (fh.any(axis=1) | sh.any(axis=1)).astype(jnp.int32)
+        )
+
+        # ---- spawning ------------------------------------------------------
+        spawn_timer = s[_Q_SPT : _Q_SPT + 1, :] - 1
+        do_spawn = spawn_timer <= 0
+        sel_f, f_free = _first_free(fE == 0, g_f)
+        sel_s, s_free = _first_free(sE == 0, g_s)
+        spawn_fish = (do_spawn & (is_sub == 0) & f_free).astype(jnp.int32)
+        spawn_sub = (do_spawn & (is_sub == 1) & s_free).astype(jnp.int32)
+        take_f = sel_f * spawn_fish
+        take_s = sel_s * spawn_sub
+        edge_x = jnp.where(lr > 0, 0, 9)
+        edge_d = jnp.where(lr > 0, 1, -1)
+        fE = jnp.maximum(fE, take_f)
+        fX = jnp.where(take_f > 0, edge_x, fX)
+        fY = jnp.where(take_f > 0, lane, fY)
+        fD = jnp.where(take_f > 0, edge_d, fD)
+        sE = jnp.maximum(sE, take_s)
+        sX = jnp.where(take_s > 0, edge_x, sX)
+        sY = jnp.where(take_s > 0, lane, sY)
+        sD = jnp.where(take_s > 0, edge_d, sD)
+        spawn_timer = jnp.where(do_spawn, spawn_speed, spawn_timer)
+
+        dst = s[_Q_DST : _Q_DST + 1, :] - 1
+        do_dspawn = dst <= 0
+        sel_d, d_free = _first_free(dE == 0, g_d)
+        spawn_diver = (do_dspawn & d_free).astype(jnp.int32)
+        take_d = sel_d * spawn_diver
+        dE = jnp.maximum(dE, take_d)
+        dX = jnp.where(take_d > 0, edge_x, dX)
+        dY = jnp.where(take_d > 0, lane, dY)
+        dD = jnp.where(take_d > 0, edge_d, dD)
+        dst = jnp.where(do_dspawn, diver_speed, dst)
+
+        # ---- collisions with the player ------------------------------------
+        divers = s[_Q_DVR : _Q_DVR + 1, :]
+        pick = (dE > 0) & (dX == sub_x) & (dY == sub_y)
+        divers = jnp.minimum(
+            divers + jnp.sum(pick.astype(jnp.int32), axis=0).reshape(1, B), 6
+        )
+        dE = dE * (1 - pick.astype(jnp.int32))
+
+        hit_enemy = (
+            ((fE > 0) & (fX == sub_x) & (fY == sub_y)).any(axis=0)
+            | ((sE > 0) & (sX == sub_x) & (sY == sub_y)).any(axis=0)
+            | ((ebE > 0) & (ebX == sub_x) & (ebY == sub_y)).any(axis=0)
+        ).reshape(1, B)
+
+        # ---- oxygen / surfacing ---------------------------------------------
+        oxygen = s[_Q_OXY : _Q_OXY + 1, :]
+        surfaced = s[_Q_SRF : _Q_SRF + 1, :]
+        underwater = sub_y > 0
+        oxygen = jnp.where(underwater, oxygen - 1, oxygen)
+        now_surf = (~underwater) & (surfaced == 0)
+        fatal = now_surf & (divers == 0)
+        cash = now_surf & (divers == 6)
+        reward = reward + jnp.where(
+            cash, oxygen.astype(jnp.float32) / 10.0, 0.0
+        )
+        divers = jnp.where(
+            now_surf & ~fatal, jnp.where(cash, 0, divers - 1), divers
+        )
+        oxygen = jnp.where(now_surf & ~fatal, max_oxygen, oxygen)
+        surfaced = (~underwater).astype(jnp.int32)
+
+        terminal = jnp.maximum(
+            s[_Q_TERM : _Q_TERM + 1, :],
+            (hit_enemy | fatal | (oxygen < 0)).astype(jnp.int32),
+        )
+        time = s[_Q_TIME : _Q_TIME + 1, :] + 1
+        done = (terminal > 0) | (time >= max_steps)
+        scal_out[0, :, :] = jnp.concatenate(
+            [
+                act.astype(jnp.float32),
+                reward,
+                done.astype(jnp.float32),
+                jnp.zeros((5, B), jnp.float32),
+            ],
+            axis=0,
+        )
+
+        # ---- auto-reset (deterministic: seaquest.py reset_env) ------------
+        di = done.astype(jnp.int32)
+        ndi = 1 - di
+        sub_x = sub_x * ndi + 5 * di
+        sub_y = sub_y * ndi
+        sub_or = sub_or * ndi + 1 * di
+        oxygen = oxygen * ndi + max_oxygen * di
+        divers = divers * ndi
+        shot_timer = shot_timer * ndi
+        spawn_timer = spawn_timer * ndi + spawn_speed * di
+        dst = dst * ndi + diver_speed * di
+        mvi = mvi * ndi + move_interval0 * di
+        surfaced = surfaced * ndi + 1 * di
+        terminal = terminal * ndi
+        time = time * ndi
+        rst = lambda v, fill=0: v * ndi + fill * di
+        fE, fX, fY, fT = rst(fE), rst(fX), rst(fY), rst(fT)
+        fD = rst(fD, 1)
+        sE, sX, sY, sT = rst(sE), rst(sX), rst(sY), rst(sT)
+        sD = rst(sD, 1)
+        sST = rst(sST, eshot_interval)
+        fbE, fbX, fbY = rst(fbE), rst(fbX), rst(fbY)
+        fbD = rst(fbD, 1)
+        ebE, ebX, ebY = rst(ebE), rst(ebX), rst(ebY)
+        ebD = rst(ebD, 1)
+        dE, dX, dY, dT = rst(dE), rst(dX), rst(dY), rst(dT)
+        dD = rst(dD, 1)
+
+        ns = jnp.concatenate(
+            [
+                sub_x, sub_y, sub_or, oxygen, divers, shot_timer,
+                spawn_timer, dst, mvi, surfaced, terminal, time,
+                fE, fX, fY, fD, fT,
+                sE, sX, sY, sD, sT, sST,
+                fbE, fbX, fbY, fbD,
+                ebE, ebX, ebY, ebD,
+                dE, dX, dY, dD, dT,
+            ],
+            axis=0,
+        )
+        st[:, :] = ns
+
+        @pl.when(t == num_steps - 1)
+        def _():
+            st_out[:, :] = ns
+            fp = _seaquest_planes(ns, row, col, B, max_oxygen)
+            for c in range(10):
+                fobs_out[c, :, :, :] = fp[c]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_steps", "use_prng", "interpret", "max_steps", "max_oxygen",
+        "spawn_speed", "diver_speed", "move_interval0", "shot_cd",
+        "eshot_interval",
+    ),
+)
+def seaquest_rollout_pallas(
+    seed: jax.Array,
+    eps: jax.Array,
+    params: dict,
+    st0: jax.Array,       # (128, B) int32 state matrix (env-minor)
+    num_steps: int,
+    use_prng: bool = True,
+    interpret: bool = False,
+    max_steps: int = 1000,
+    max_oxygen: int = 200,
+    spawn_speed: int = 20,
+    diver_speed: int = 30,
+    move_interval0: int = 5,
+    shot_cd: int = 5,
+    eshot_interval: int = 10,
+):
+    """Seaquest analogue (6 actions, 10 obs channels). Returns
+    (obs (T,B,10,10,10), act, rew, done int32, q (T,B,8),
+    final_obs (B,10,10,10), st (128,B))."""
+    B = st0.shape[1]
+    T = num_steps
+    cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb = _pack_cnn_params(
+        params, 6, n_channels=10
+    )
+
+    vm = pltpu.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *([pl.BlockSpec(memory_space=vm)] * 11),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 10, 10, 10, B), lambda t: (t, 0, 0, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, 10, 10, 10, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
+        jax.ShapeDtypeStruct((10, 10, 10, B), jnp.float32),
+        jax.ShapeDtypeStruct((_Q_ROWS, B), jnp.int32),
+    ]
+    kernel = _make_seaquest_kernel(
+        T, B, use_prng, max_steps, max_oxygen, spawn_speed, diver_speed,
+        move_interval0, shot_cd, eshot_interval,
+    )
+    obs_cm, scal, q_cm, fobs_cm, st = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((_Q_ROWS, B), jnp.int32)],
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([eps], jnp.float32),
+        cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb,
+        st0,
+    )
+    obs_seq = jnp.transpose(obs_cm, (0, 4, 2, 3, 1))
+    final_obs = jnp.transpose(fobs_cm, (3, 1, 2, 0))
+    act = scal[:, 0, :].astype(jnp.int32)
+    rew = scal[:, 1, :]
+    done = scal[:, 2, :].astype(jnp.int32)
+    q_seq = jnp.transpose(q_cm, (0, 2, 1))
+    return obs_seq, act, rew, done, q_seq, final_obs, st
+
+
+def state_matrix_from_seaquest(qstate) -> jax.Array:
+    tr = lambda m: m.astype(jnp.int32).T
+    head = jnp.stack(
+        [
+            qstate.sub_x, qstate.sub_y, qstate.sub_or, qstate.oxygen,
+            qstate.divers, qstate.shot_timer, qstate.spawn_timer,
+            qstate.diver_spawn_timer, qstate.move_interval,
+            qstate.surfaced.astype(jnp.int32),
+            qstate.terminal.astype(jnp.int32), qstate.time,
+        ],
+        axis=0,
+    ).astype(jnp.int32)
+    return jnp.concatenate(
+        [
+            head,
+            tr(qstate.f_exists), tr(qstate.f_x), tr(qstate.f_y),
+            tr(qstate.f_dir), tr(qstate.f_timer),
+            tr(qstate.s_exists), tr(qstate.s_x), tr(qstate.s_y),
+            tr(qstate.s_dir), tr(qstate.s_timer), tr(qstate.s_shot_timer),
+            tr(qstate.fb_exists), tr(qstate.fb_x), tr(qstate.fb_y),
+            tr(qstate.fb_dir),
+            tr(qstate.eb_exists), tr(qstate.eb_x), tr(qstate.eb_y),
+            tr(qstate.eb_dir),
+            tr(qstate.d_exists), tr(qstate.d_x), tr(qstate.d_y),
+            tr(qstate.d_dir), tr(qstate.d_timer),
+        ],
+        axis=0,
+    )
+
+
+def seaquest_from_state_matrix(st):
+    from purejaxql_tpu.envs.minatar.seaquest import SeaquestState
+
+    r = lambda a, n: st[a : a + n].T
+    return SeaquestState(
+        sub_x=st[_Q_SX], sub_y=st[_Q_SY], sub_or=st[_Q_SOR],
+        oxygen=st[_Q_OXY], divers=st[_Q_DVR], shot_timer=st[_Q_SHT],
+        f_exists=r(_Q_F, 8).astype(bool), f_x=r(_Q_F + 8, 8),
+        f_y=r(_Q_F + 16, 8), f_dir=r(_Q_F + 24, 8), f_timer=r(_Q_F + 32, 8),
+        s_exists=r(_Q_S, 4).astype(bool), s_x=r(_Q_S + 4, 4),
+        s_y=r(_Q_S + 8, 4), s_dir=r(_Q_S + 12, 4), s_timer=r(_Q_S + 16, 4),
+        s_shot_timer=r(_Q_S + 20, 4),
+        fb_exists=r(_Q_FB, 4).astype(bool), fb_x=r(_Q_FB + 4, 4),
+        fb_y=r(_Q_FB + 8, 4), fb_dir=r(_Q_FB + 12, 4),
+        eb_exists=r(_Q_EB, 4).astype(bool), eb_x=r(_Q_EB + 4, 4),
+        eb_y=r(_Q_EB + 8, 4), eb_dir=r(_Q_EB + 12, 4),
+        d_exists=r(_Q_D, 4).astype(bool), d_x=r(_Q_D + 4, 4),
+        d_y=r(_Q_D + 8, 4), d_dir=r(_Q_D + 12, 4), d_timer=r(_Q_D + 16, 4),
+        spawn_timer=st[_Q_SPT], diver_spawn_timer=st[_Q_DST],
+        move_interval=st[_Q_MVI], surfaced=st[_Q_SRF].astype(bool),
+        terminal=st[_Q_TERM].astype(bool), time=st[_Q_TIME],
+    )

@@ -415,3 +415,81 @@ def test_fused_space_invaders_interpret_exactness():
     assert np.array_equal(
         np.asarray(s2.e_bullet_map), np.asarray(final_st.e_bullet_map)
     )
+
+
+def test_fused_seaquest_interpret_exactness():
+    """Seaquest fused rollout (PRNG off) with hand-placed fish, a shooting
+    enemy sub, a diver, and a friendly bullet mid-flight: obs, actions,
+    rewards (kills land), dones, and scalar state match the XLA engine
+    exactly over 20 steps. Pool-slot identity can permute under different
+    RNG, so pool arrays are compared at the obs level."""
+    import numpy as np
+    from purejaxql_tpu.envs import make
+    from purejaxql_tpu.models.cnn import CNNQNetwork
+    from purejaxql_tpu.ops.pallas_rollout import (
+        seaquest_from_state_matrix,
+        seaquest_rollout_pallas,
+        state_matrix_from_seaquest,
+    )
+
+    B, T = 16, 20
+    env, params = make("Seaquest-MinAtar")
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    obs0, state0 = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+    state0 = state0.replace(
+        spawn_timer=jnp.full((B,), 60, jnp.int32),
+        diver_spawn_timer=jnp.full((B,), 60, jnp.int32),
+        sub_y=jnp.full((B,), 4, jnp.int32),
+        surfaced=jnp.zeros((B,), bool),
+        f_exists=jnp.zeros((B, 8), bool).at[:, 0].set(True).at[:, 3].set(True),
+        f_x=jnp.zeros((B, 8), jnp.int32).at[:, 0].set(2).at[:, 3].set(8),
+        f_y=jnp.zeros((B, 8), jnp.int32).at[:, 0].set(6).at[:, 3].set(6),
+        f_dir=jnp.ones((B, 8), jnp.int32).at[:, 3].set(-1),
+        s_exists=jnp.zeros((B, 4), bool).at[:, 1].set(True),
+        s_x=jnp.zeros((B, 4), jnp.int32).at[:, 1].set(9),
+        s_y=jnp.zeros((B, 4), jnp.int32).at[:, 1].set(3),
+        s_dir=jnp.ones((B, 4), jnp.int32).at[:, 1].set(-1),
+        s_shot_timer=jnp.full((B, 4), 2, jnp.int32),
+        fb_exists=jnp.zeros((B, 4), bool).at[:, 2].set(True),
+        fb_x=jnp.zeros((B, 4), jnp.int32).at[:, 2].set(0),
+        fb_y=jnp.zeros((B, 4), jnp.int32).at[:, 2].set(6),
+        fb_dir=jnp.ones((B, 4), jnp.int32),
+        d_exists=jnp.zeros((B, 4), bool).at[:, 2].set(True),
+        d_x=jnp.zeros((B, 4), jnp.int32).at[:, 2].set(5),
+        d_y=jnp.zeros((B, 4), jnp.int32).at[:, 2].set(5),
+    )
+    net = CNNQNetwork(action_dim=6, norm_type="layer_norm", norm_input=False)
+    variables = net.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 10, 10, 10)), train=False
+    )
+
+    def ref_step(carry, _):
+        obs, st = carry
+        q = net.apply(variables, obs, train=False)
+        a = jnp.argmax(q, axis=-1)
+        o2, st2, r, d, _ = jax.vmap(env.step, in_axes=(0, 0, 0, None))(
+            jax.random.split(jax.random.PRNGKey(2), B), st, a, params
+        )
+        return (o2, st2), (obs, a, r, d)
+
+    obs_init = jax.vmap(lambda s: env.get_obs(s, params))(state0)
+    (_, final_st), (obs_ref, act_ref, rew_ref, done_ref) = jax.lax.scan(
+        ref_step, (obs_init, state0), None, T
+    )
+    assert np.asarray(rew_ref).sum() > 0  # the placed bullet scores kills
+    st0 = state_matrix_from_seaquest(state0)
+    obs_seq, act, rew, done_i, _, _, st1 = seaquest_rollout_pallas(
+        jnp.asarray(0), jnp.asarray(0.0), variables["params"], st0,
+        T, use_prng=False, interpret=True,
+    )
+    assert np.allclose(np.asarray(obs_seq), np.asarray(obs_ref))
+    assert np.array_equal(np.asarray(act), np.asarray(act_ref))
+    assert np.array_equal(np.asarray(rew), np.asarray(rew_ref))
+    assert np.array_equal(
+        np.asarray(done_i).astype(bool), np.asarray(done_ref)
+    )
+    q2 = seaquest_from_state_matrix(st1)
+    for f in ("sub_x", "sub_y", "oxygen", "divers", "time", "spawn_timer"):
+        assert np.array_equal(
+            np.asarray(getattr(q2, f)), np.asarray(getattr(final_st, f))
+        ), f
