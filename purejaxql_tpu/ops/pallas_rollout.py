@@ -138,6 +138,60 @@ def _pack_cnn_params(p, action_dim, n_channels=4):
     return cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb
 
 
+def _call_game_kernel(
+    kernel, T, B, n_channels, weights, state_ins, state_out_shapes,
+    scratch_shapes, seed, eps, interpret,
+):
+    """Shared pallas_call plumbing for every fused game kernel: standard
+    per-step outputs (channel-planar obs, packed scalars, padded q) plus
+    game-specific final-state outputs; converts back to env-major."""
+    vm = pltpu.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *([pl.BlockSpec(memory_space=vm)] * (len(weights) + len(state_ins))),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, n_channels, 10, 10, B),
+            lambda t: (t, 0, 0, 0, 0),
+            memory_space=vm,
+        ),
+        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        *([pl.BlockSpec(memory_space=vm)] * len(state_out_shapes)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, n_channels, 10, 10, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
+        jax.ShapeDtypeStruct((n_channels, 10, 10, B), jnp.float32),
+        *state_out_shapes,
+    ]
+    obs_cm, scal, q_cm, fobs_cm, *state_outs = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([eps], jnp.float32),
+        *weights,
+        *state_ins,
+    )
+    obs_seq = jnp.transpose(obs_cm, (0, 4, 2, 3, 1))
+    final_obs = jnp.transpose(fobs_cm, (3, 1, 2, 0))
+    act = scal[:, 0, :].astype(jnp.int32)
+    rew = scal[:, 1, :]
+    done = scal[:, 2, :].astype(jnp.int32)
+    q_seq = jnp.transpose(q_cm, (0, 2, 1))
+    return obs_seq, act, rew, done, q_seq, final_obs, state_outs
+
+
 def _make_kernel(num_steps: int, batch: int, use_prng: bool, max_steps: int):
     B = batch
 
@@ -901,50 +955,16 @@ def asterix_rollout_pallas(
     B = st0.shape[1]
     T = num_steps
     cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb = _pack_cnn_params(params, 5)
-
-    vm = pltpu.ANY if interpret else pltpu.VMEM
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        *([pl.BlockSpec(memory_space=vm)] * 11),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, 4, 10, 10, B), lambda t: (t, 0, 0, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((T, 4, 10, 10, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
-        jax.ShapeDtypeStruct((4, 10, 10, B), jnp.float32),
-        jax.ShapeDtypeStruct((_A_ROWS, B), jnp.int32),
-    ]
     kernel = _make_asterix_kernel(
         T, B, use_prng, max_steps, ramp_interval, init_spawn, init_move
     )
-    obs_cm, scal, q_cm, fobs_cm, st = pl.pallas_call(
-        kernel,
-        grid=(T,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((_A_ROWS, B), jnp.int32)],
-        interpret=interpret,
-    )(
-        jnp.asarray([seed], jnp.int32),
-        jnp.asarray([eps], jnp.float32),
-        cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb,
-        st0,
+    obs_seq, act, rew, done, q_seq, final_obs, (st,) = _call_game_kernel(
+        kernel, T, B, 4,
+        (cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb), (st0,),
+        [jax.ShapeDtypeStruct((_A_ROWS, B), jnp.int32)],
+        [pltpu.VMEM((_A_ROWS, B), jnp.int32)],
+        seed, eps, interpret,
     )
-    obs_seq = jnp.transpose(obs_cm, (0, 4, 2, 3, 1))
-    final_obs = jnp.transpose(fobs_cm, (3, 1, 2, 0))
-    act = scal[:, 0, :].astype(jnp.int32)
-    rew = scal[:, 1, :]
-    done = scal[:, 2, :].astype(jnp.int32)
-    q_seq = jnp.transpose(q_cm, (0, 2, 1))
     return obs_seq, act, rew, done, q_seq, final_obs, st
 
 
@@ -1184,48 +1204,14 @@ def freeway_rollout_pallas(
     cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb = _pack_cnn_params(
         params, 3, n_channels=7
     )
-
-    vm = pltpu.ANY if interpret else pltpu.VMEM
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        *([pl.BlockSpec(memory_space=vm)] * 11),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, 7, 10, 10, B), lambda t: (t, 0, 0, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((T, 7, 10, 10, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
-        jax.ShapeDtypeStruct((7, 10, 10, B), jnp.float32),
-        jax.ShapeDtypeStruct((_F_ROWS, B), jnp.int32),
-    ]
     kernel = _make_freeway_kernel(T, B, use_prng, max_steps, player_speed)
-    obs_cm, scal, q_cm, fobs_cm, st = pl.pallas_call(
-        kernel,
-        grid=(T,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((_F_ROWS, B), jnp.int32)],
-        interpret=interpret,
-    )(
-        jnp.asarray([seed], jnp.int32),
-        jnp.asarray([eps], jnp.float32),
-        cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb,
-        st0,
+    obs_seq, act, rew, done, q_seq, final_obs, (st,) = _call_game_kernel(
+        kernel, T, B, 7,
+        (cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb), (st0,),
+        [jax.ShapeDtypeStruct((_F_ROWS, B), jnp.int32)],
+        [pltpu.VMEM((_F_ROWS, B), jnp.int32)],
+        seed, eps, interpret,
     )
-    obs_seq = jnp.transpose(obs_cm, (0, 4, 2, 3, 1))
-    final_obs = jnp.transpose(fobs_cm, (3, 1, 2, 0))
-    act = scal[:, 0, :].astype(jnp.int32)
-    rew = scal[:, 1, :]
-    done = scal[:, 2, :].astype(jnp.int32)
-    q_seq = jnp.transpose(q_cm, (0, 2, 1))
     return obs_seq, act, rew, done, q_seq, final_obs, st
 
 
@@ -1550,59 +1536,28 @@ def space_invaders_rollout_pallas(
     cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb = _pack_cnn_params(
         params, 4, n_channels=6
     )
-
-    vm = pltpu.ANY if interpret else pltpu.VMEM
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        *([pl.BlockSpec(memory_space=vm)] * 14),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, 6, 10, 10, B), lambda t: (t, 0, 0, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((T, 6, 10, 10, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
-        jax.ShapeDtypeStruct((6, 10, 10, B), jnp.float32),
-        jax.ShapeDtypeStruct((_S_ROWS, B), jnp.int32),
-        jax.ShapeDtypeStruct((10, 10, B), jnp.int32),
-        jax.ShapeDtypeStruct((10, 10, B), jnp.int32),
-        jax.ShapeDtypeStruct((10, 10, B), jnp.int32),
-    ]
     kernel = _make_si_kernel(T, B, use_prng, max_steps, shot_cd, shot_interval)
-    (obs_cm, scal, q_cm, fobs_cm, st, alien, fmap, emap) = pl.pallas_call(
-        kernel,
-        grid=(T,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
+    (
+        obs_seq, act, rew, done, q_seq, final_obs,
+        (st, alien, fmap, emap),
+    ) = _call_game_kernel(
+        kernel, T, B, 6,
+        (cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb),
+        (st0, alien0, fmap0, emap0),
+        [
+            jax.ShapeDtypeStruct((_S_ROWS, B), jnp.int32),
+            jax.ShapeDtypeStruct((10, 10, B), jnp.int32),
+            jax.ShapeDtypeStruct((10, 10, B), jnp.int32),
+            jax.ShapeDtypeStruct((10, 10, B), jnp.int32),
+        ],
+        [
             pltpu.VMEM((_S_ROWS, B), jnp.int32),
             pltpu.VMEM((10, 10, B), jnp.int32),
             pltpu.VMEM((10, 10, B), jnp.int32),
             pltpu.VMEM((10, 10, B), jnp.int32),
         ],
-        interpret=interpret,
-    )(
-        jnp.asarray([seed], jnp.int32),
-        jnp.asarray([eps], jnp.float32),
-        cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb,
-        st0, alien0, fmap0, emap0,
+        seed, eps, interpret,
     )
-    obs_seq = jnp.transpose(obs_cm, (0, 4, 2, 3, 1))
-    final_obs = jnp.transpose(fobs_cm, (3, 1, 2, 0))
-    act = scal[:, 0, :].astype(jnp.int32)
-    rew = scal[:, 1, :]
-    done = scal[:, 2, :].astype(jnp.int32)
-    q_seq = jnp.transpose(q_cm, (0, 2, 1))
     return obs_seq, act, rew, done, q_seq, final_obs, st, alien, fmap, emap
 
 
@@ -2086,51 +2041,17 @@ def seaquest_rollout_pallas(
     cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb = _pack_cnn_params(
         params, 6, n_channels=10
     )
-
-    vm = pltpu.ANY if interpret else pltpu.VMEM
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        *([pl.BlockSpec(memory_space=vm)] * 11),
-    ]
-    out_specs = [
-        pl.BlockSpec((1, 10, 10, 10, B), lambda t: (t, 0, 0, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, _QPAD, B), lambda t: (t, 0, 0), memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-        pl.BlockSpec(memory_space=vm),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((T, 10, 10, 10, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
-        jax.ShapeDtypeStruct((T, _QPAD, B), jnp.float32),
-        jax.ShapeDtypeStruct((10, 10, 10, B), jnp.float32),
-        jax.ShapeDtypeStruct((_Q_ROWS, B), jnp.int32),
-    ]
     kernel = _make_seaquest_kernel(
         T, B, use_prng, max_steps, max_oxygen, spawn_speed, diver_speed,
         move_interval0, shot_cd, eshot_interval,
     )
-    obs_cm, scal, q_cm, fobs_cm, st = pl.pallas_call(
-        kernel,
-        grid=(T,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((_Q_ROWS, B), jnp.int32)],
-        interpret=interpret,
-    )(
-        jnp.asarray([seed], jnp.int32),
-        jnp.asarray([eps], jnp.float32),
-        cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb,
-        st0,
+    obs_seq, act, rew, done, q_seq, final_obs, (st,) = _call_game_kernel(
+        kernel, T, B, 10,
+        (cw, cb, l1s, l1b, dw, db, l2s, l2b, hw, hb), (st0,),
+        [jax.ShapeDtypeStruct((_Q_ROWS, B), jnp.int32)],
+        [pltpu.VMEM((_Q_ROWS, B), jnp.int32)],
+        seed, eps, interpret,
     )
-    obs_seq = jnp.transpose(obs_cm, (0, 4, 2, 3, 1))
-    final_obs = jnp.transpose(fobs_cm, (3, 1, 2, 0))
-    act = scal[:, 0, :].astype(jnp.int32)
-    rew = scal[:, 1, :]
-    done = scal[:, 2, :].astype(jnp.int32)
-    q_seq = jnp.transpose(q_cm, (0, 2, 1))
     return obs_seq, act, rew, done, q_seq, final_obs, st
 
 
