@@ -7,28 +7,35 @@ the reference trains on (`ENV_NAME: Craftax-Symbolic-v1`,
 generated worlds (expensive resets -> pairs with OptimisticResetVecEnv),
 resource gathering gated by tool tiers, crafting at stations, hunger /
 thirst / energy / health survival dynamics, day-night cycles with hostile
-mobs, a four-floor dungeon (craftax-style vertical depth: aligned ladder
-pairs descend surface -> cave -> deep -> hell, each floor with richer ore
-veins, more lava, and tougher mobs than the one above; ruby and sapphire
-spawn only on the deep floor, which orcs patrol and a lone high-health
-WARDEN boss guards; the hell floor is obsidian and lava seas where demons
-prowl and the NECROMANCER final boss waits), a diamond tool tier above
-iron, bow-and-arrow ranged combat (craftax's bow: craft at a table, fire
-down the facing ray, first mob in line-of-sight takes heavy damage), loot
-chests holding potions whose color -> effect mapping is re-permuted every
-episode (craftax's potion-experimentation mechanic), a mana-fueled
-fireball spell unlocked by a spellbook chest drop (craftax's magic
-system), iron/diamond armor tiers that blunt melee damage, and a
-48-achievement reward structure (+1 on each first-time achievement per
-episode, +-0.1 per health point gained/lost) including derived feats
-(marksman long shots, fireball kills, collecting every gem type, slaying
-both bosses).
+mobs, a five-floor dungeon (craftax-style vertical depth: aligned ladder
+pairs descend surface -> cave -> deep -> hell -> ice realm, each floor
+with richer ore veins and tougher mobs than the one above; ruby and
+sapphire spawn only on the deep floor, which orcs patrol and a lone
+high-health WARDEN boss guards; the hell floor is obsidian and lava seas
+where demons prowl and the NECROMANCER waits; the frozen ice realm at the
+very bottom holds the enchanting crystal ore, wraiths, and the ICE QUEEN
+final boss), a diamond tool tier above iron, bow-and-arrow ranged combat
+(craftax's bow: craft at a table, fire down the facing ray, first mob in
+line-of-sight takes heavy damage), loot chests holding potions whose
+color -> effect mapping is re-permuted every episode (craftax's
+potion-experimentation mechanic), a two-spell magic system (a mana-fueled
+fireball from spellbook chest drops, and a piercing ice bolt from the ice
+realm's frost tome), gem enchanting at placeable enchantment tables
+(ruby -> sword, sapphire -> bow, crystal -> armor — craftax's enchantment
+mechanic), placeable torches, iron/diamond armor tiers that blunt melee
+damage, a kill-XP player-level ladder that raises melee damage, and a
+65-achievement reward structure (+1 on each first-time achievement per
+episode, +-0.1 per health point gained/lost) — the same tree size as
+craftax-1.0 — including derived feats (marksman long shots, fireball/ice
+kills, collecting every gem type, tasting every potion, crafting every
+tool, slaying all three bosses, levelling to veteran).
 
 Observations are symbolic (craftax-symbolic-style): a flattened float32
 vector of a 9x9 one-hot local block/mob view plus inventory, needs + mana,
-facing, time-of-day and sleep state. 28 discrete actions (noop, 4 moves,
-do, sleep, 4 places, 12 crafts incl. armor, shoot, 3 drinks, cast). The
-potion permutation is hidden state the agent cannot observe — only taste.
+facing, time-of-day, sleep state, XP level, and potions-tried bits. 34
+discrete actions (noop, 4 moves, do, sleep, 6 places, 12 crafts incl.
+armor, 3 enchants, shoot, 3 drinks, 2 casts). The potion permutation is
+hidden state the agent cannot observe — only taste.
 
 Everything is branchless jnp.where logic over static-shape arrays: the
 whole step is a handful of fused gather/compare ops, and worlds vmap to
@@ -59,6 +66,14 @@ ACHIEVEMENTS = [
     "cast_spell", "defeat_demon", "defeat_necromancer",
     "make_iron_armor", "make_diamond_armor", "fireball_kill", "marksman",
     "collect_all_gems", "slay_all_bosses", "full_belly",
+    # tier-4 content: torches, the ice realm, enchanting, a second spell,
+    # an XP ladder, and completionist feats — 65 total, matching the size
+    # of craftax-1.0's achievement tree
+    "place_torch", "place_enchant_table", "enchant_sword", "enchant_bow",
+    "enchant_armor", "enter_ice", "collect_crystal", "defeat_bat",
+    "defeat_wraith", "defeat_ice_queen", "learn_ice_spell",
+    "cast_ice_spell", "ice_kill", "drink_all_potions", "level_up",
+    "veteran", "craft_all_tools",
 ]
 NUM_ACHIEVEMENTS = len(ACHIEVEMENTS)
 _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
@@ -72,51 +87,71 @@ _ACH = {name: i for i, name in enumerate(ACHIEVEMENTS)}
 # one (29,)-shaped op chain is ~5x fewer ops for the same work.
 (
     MOB_COW, MOB_ZOMBIE, MOB_SKEL, MOB_ORC, MOB_WARDEN, MOB_DEMON,
-    MOB_NECRO,
-) = range(7)
-NUM_MOB_TYPES = 7
+    MOB_NECRO, MOB_BAT, MOB_WRAITH, MOB_QUEEN,
+) = range(10)
+NUM_MOB_TYPES = 10
 N_COWS = 8
 N_ZOMBIES = 8   # spawn at night near the player / anywhere in the dungeon
 N_SKELETONS = 8  # haunt the cave and deep floors (level per skeleton)
 N_ORCS = 4       # tier-2 melee mobs patrolling the deep floor
 N_DEMONS = 4     # tier-3 mobs prowling the hell floor
+N_BATS = 4       # weak erratic cave-fliers
+N_WRAITHS = 4    # tier-4 mobs haunting the ice realm
 COWS = slice(0, 8)      # slot layout is static: per-type logic (zombie
 ZOMBIES = slice(8, 16)  # spawning) uses static slices, everything else
 SKELS = slice(16, 24)   # is type-indexed through MOB_TYPE
 ORCS = slice(24, 28)
 WARDEN = 28             # the lone deep-floor boss
 DEMONS = slice(29, 33)
-NECRO = 33              # the necromancer: the hell-floor final boss
-N_MOBS = 34
+NECRO = 33              # the necromancer: the hell-floor boss
+BATS = slice(34, 38)
+WRAITHS = slice(38, 42)
+QUEEN = 42              # the ice queen: the final boss at the very bottom
+N_MOBS = 43
 MOB_TYPE = jnp.array(
     [MOB_COW] * N_COWS + [MOB_ZOMBIE] * N_ZOMBIES + [MOB_SKEL] * N_SKELETONS
     + [MOB_ORC] * N_ORCS + [MOB_WARDEN] + [MOB_DEMON] * N_DEMONS
-    + [MOB_NECRO]
+    + [MOB_NECRO] + [MOB_BAT] * N_BATS + [MOB_WRAITH] * N_WRAITHS
+    + [MOB_QUEEN]
 )
 _TYPE_ONEHOT = MOB_TYPE[:, None] == jnp.arange(NUM_MOB_TYPES)[None, :]
-_SPAWN_HEALTH = jnp.array([3, 5, 3, 8, 20, 10, 30], jnp.int32)
-_MELEE_DMG = jnp.array([0, 1, 1, 2, 3, 3, 4], jnp.int32)
+_SPAWN_HEALTH = jnp.array([3, 5, 3, 8, 20, 10, 30, 1, 8, 30], jnp.int32)
+_MELEE_DMG = jnp.array([0, 1, 1, 2, 3, 3, 4, 1, 3, 4], jnp.int32)
 # chance per step of taking a chase step toward the player (only while on
-# the player's floor); the warden and necromancer chase relentlessly
-_CHASE_P = jnp.array([0.0, 0.7, 0.0, 0.6, 1.0, 0.8, 1.0], jnp.float32)
+# the player's floor); the warden, necromancer and queen chase relentlessly
+_CHASE_P = jnp.array(
+    [0.0, 0.7, 0.0, 0.6, 1.0, 0.8, 1.0, 0.3, 0.8, 1.0], jnp.float32
+)
 # random-walk chance while sharing the player's floor / while elsewhere
-# (orcs and demons patrol their floor only when the player is away;
-# zombies and the bosses never wander)
-_WALK_P_SAME = jnp.array([0.3, 0.0, 0.2, 0.0, 0.0, 0.0, 0.0], jnp.float32)
-_WALK_P_AWAY = jnp.array([0.3, 0.0, 0.2, 0.25, 0.0, 0.25, 0.0], jnp.float32)
+# (orcs, demons and wraiths patrol their floor only when the player is
+# away; zombies and the bosses never wander; bats flit constantly)
+_WALK_P_SAME = jnp.array(
+    [0.3, 0.0, 0.2, 0.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0], jnp.float32
+)
+_WALK_P_AWAY = jnp.array(
+    [0.3, 0.0, 0.2, 0.25, 0.0, 0.25, 0.0, 0.5, 0.25, 0.0], jnp.float32
+)
 # first-kill achievement id per mob type (a cow kill feeds you)
 _MOB_ACH_IDS = jnp.array(
     [
         _ACH["eat_cow"], _ACH["defeat_zombie"], _ACH["defeat_skeleton"],
         _ACH["defeat_orc"], _ACH["defeat_warden"], _ACH["defeat_demon"],
-        _ACH["defeat_necromancer"],
+        _ACH["defeat_necromancer"], _ACH["defeat_bat"],
+        _ACH["defeat_wraith"], _ACH["defeat_ice_queen"],
     ]
 )
+# XP granted per kill by mob type (craftax's experience system): trash
+# mobs 1, tier mobs 2, bosses 5; cows are food, not XP
+_XP_PER_KILL = jnp.array([0, 1, 1, 2, 5, 2, 5, 1, 2, 5], jnp.int32)
+XP_PER_LEVEL = 8    # player level = 1 + xp // XP_PER_LEVEL, capped
+MAX_PLAYER_LEVEL = 5  # each level past 1 adds +1 melee damage
 
 # derived-achievement rows (order matches the `derived` stack in step_env)
 _DERIVED_IDS = [
     _ACH["fireball_kill"], _ACH["marksman"], _ACH["collect_all_gems"],
-    _ACH["slay_all_bosses"], _ACH["full_belly"],
+    _ACH["slay_all_bosses"], _ACH["full_belly"], _ACH["ice_kill"],
+    _ACH["drink_all_potions"], _ACH["level_up"], _ACH["veteran"],
+    _ACH["craft_all_tools"],
 ]
 _DERIVED_ONEHOT = (
     jnp.arange(NUM_ACHIEVEMENTS)[None, :] == jnp.array(_DERIVED_IDS)[:, None]
@@ -132,8 +167,13 @@ INV = {
     # potion colors MUST stay consecutive (drink actions index off red)
     "potion_red": 19, "potion_green": 20, "potion_blue": 21,
     "spellbook": 22, "iron_armor": 23, "diamond_armor": 24,
+    # tier-4: the enchanting reagent, the ice-spell tome, and the three
+    # 0/1 enchantment marks (enchanted gear is an upgraded inventory bit,
+    # not a separate item — the sword/bow/armor slots stay canonical)
+    "crystal": 25, "frost_tome": 26,
+    "sword_enchant": 27, "bow_enchant": 28, "armor_enchant": 29,
 }
-NUM_INV = 25
+NUM_INV = 30
 
 # actions
 A_NOOP, A_LEFT, A_RIGHT, A_UP, A_DOWN, A_DO, A_SLEEP = range(7)
@@ -142,7 +182,9 @@ A_MAKE_WP, A_MAKE_SP, A_MAKE_IP, A_MAKE_WS, A_MAKE_SS, A_MAKE_IS = range(11, 17)
 A_MAKE_DP, A_MAKE_DS, A_MAKE_BOW, A_MAKE_ARROW, A_SHOOT = range(17, 22)
 A_DRINK_RED, A_DRINK_GREEN, A_DRINK_BLUE, A_CAST = range(22, 26)
 A_MAKE_IA, A_MAKE_DA = 26, 27  # armor crafts
-NUM_ACTIONS = 28
+A_PLACE_TORCH, A_PLACE_ENCHANT = 28, 29
+A_ENCH_SWORD, A_ENCH_BOW, A_ENCH_ARMOR, A_CAST_ICE = range(30, 34)
+NUM_ACTIONS = 34
 
 ARROW_RANGE = 5   # tiles along the facing ray
 ARROW_DAMAGE = 3
@@ -157,34 +199,45 @@ NUM_POTIONS = 3
 POTION_HEAL, POTION_FEAST, POTION_POISON = range(3)
 
 # magic: a spellbook (chest loot) unlocks the fireball spell — same ray as
-# the bow but heavier damage, paid in mana that trickles back over time
+# the bow but heavier damage, paid in mana that trickles back over time.
+# The frost tome (ice-realm chest loot) unlocks the ice bolt: cheaper,
+# lighter damage, but PIERCING — it strikes every mob along the ray.
 SPELL_COST = 4
 SPELL_DAMAGE = 5
+ICE_COST = 2
+ICE_DAMAGE = 3
 MAX_MANA = 9
+# enchanting (craftax's gem-enchantment system): at a placed enchantment
+# table, a gem + mana upgrades a piece of gear once per episode —
+# ruby -> sword (+2 melee), sapphire -> bow (+2 arrow), crystal -> armor
+# (+1 protection)
+ENCHANT_COST = 3  # mana per enchantment
 
 # direction vectors: 0 up, 1 right, 2 down, 3 left (dy, dx)
 _DIRS = jnp.array([[-1, 0], [0, 1], [1, 0], [0, -1]])
 
 _WALKABLE = jnp.zeros(W.NUM_BLOCK_TYPES, bool).at[
-    jnp.array([W.GRASS, W.SAND, W.PATH, W.SAPLING, W.PLANT_RIPE])
+    jnp.array([W.GRASS, W.SAND, W.PATH, W.SAPLING, W.PLANT_RIPE, W.ICE])
 ].set(True)
 _PLACEABLE = jnp.zeros(W.NUM_BLOCK_TYPES, bool).at[
-    jnp.array([W.GRASS, W.SAND, W.PATH])
+    jnp.array([W.GRASS, W.SAND, W.PATH, W.ICE])
 ].set(True)
 
 VIEW = 9  # local obs window
 # grid channels: one-hot blocks + one channel per mob type; extras are
 # inventory, needs (health/food/drink/energy) + mana, facing one-hot,
-# time-of-day sin/cos, sleeping flag, floor depth
+# time-of-day sin/cos, sleeping flag, floor depth, player level + XP
+# progress, and the potions-tried bits (which colors this life has tasted
+# — the potion permutation itself stays hidden)
 OBS_DIM = (
     VIEW * VIEW * (W.NUM_BLOCK_TYPES + NUM_MOB_TYPES)
-    + NUM_INV + 5 + 4 + 2 + 1 + 1
+    + NUM_INV + 5 + 4 + 2 + 1 + 1 + 2 + NUM_POTIONS
 )
 
 
 @struct.dataclass
 class ForagerState:
-    blocks: jax.Array          # (3, 56, 56) int8: [surface, cave, deep]
+    blocks: jax.Array          # (NUM_LEVELS, 56, 56) int8 floor stack
     growth: jax.Array          # (56, 56) int8 sapling growth timers
                                # (surface only: saplings need grass)
     pos: jax.Array             # (2,) int32 (y, x) in padded coords
@@ -201,7 +254,9 @@ class ForagerState:
     regen_tick: jax.Array
     sleeping: jax.Array
     mana: jax.Array            # int32 spell fuel, regenerates over time
+    xp: jax.Array              # int32 experience from kills
     potion_map: jax.Array      # (3,) per-episode color -> effect permutation
+    potions_tried: jax.Array   # (3,) bool: colors tasted this episode
     inventory: jax.Array       # (NUM_INV,) int32
     achievements: jax.Array    # (NUM_ACHIEVEMENTS,) bool
     mob_pos: jax.Array         # (N_MOBS, 2) padded coords; slots by type
@@ -238,8 +293,8 @@ class Forager(Environment):
     def reset_env(self, key, params):
         (
             k_world, k_cow, k_skel, k_orc, k_warden, k_demon, k_necro,
-            k_potion,
-        ) = jax.random.split(key, 8)
+            k_potion, k_bat, k_wraith, k_queen,
+        ) = jax.random.split(key, 11)
         blocks = W.generate_world(k_world)
         c = W.PAD + W.WORLD_SIZE // 2
 
@@ -311,6 +366,37 @@ class Forager(Environment):
         necro_pos = necro_cands[necro_pick]
         necro_open = necro_cand_open[necro_pick]
 
+        # bats flit through the cave passages; wraiths haunt the frozen
+        # ground of the ice realm, where the ICE QUEEN waits at the bottom
+        bat_pos = jax.random.randint(
+            k_bat, (N_BATS, 2), W.PAD + 2, W.PAD + W.WORLD_SIZE - 2
+        )
+        bat_open = blocks[W.CAVE, bat_pos[:, 0], bat_pos[:, 1]] == W.PATH
+        wraith_cands = jax.random.randint(
+            k_wraith, (N_WRAITHS, 8, 2), W.PAD + 2, W.PAD + W.WORLD_SIZE - 2
+        )
+        wraith_cand_open = (
+            blocks[W.ICE_REALM, wraith_cands[..., 0], wraith_cands[..., 1]]
+            == W.ICE
+        )
+        wraith_pick = jnp.argmax(wraith_cand_open, axis=1)
+        wraith_pos = jnp.take_along_axis(
+            wraith_cands, wraith_pick[:, None, None], axis=1
+        )[:, 0]
+        wraith_open = jnp.take_along_axis(
+            wraith_cand_open, wraith_pick[:, None], axis=1
+        )[:, 0]
+        queen_cands = jax.random.randint(
+            k_queen, (8, 2), W.PAD + 4, W.PAD + W.WORLD_SIZE - 4
+        )
+        queen_cand_open = (
+            blocks[W.ICE_REALM, queen_cands[:, 0], queen_cands[:, 1]]
+            == W.ICE
+        )
+        queen_pick = jnp.argmax(queen_cand_open)
+        queen_pos = queen_cands[queen_pick]
+        queen_open = queen_cand_open[queen_pick]
+
         mob_pos = jnp.concatenate(
             [
                 cow_pos.astype(jnp.int32),
@@ -320,6 +406,9 @@ class Forager(Environment):
                 warden_pos.astype(jnp.int32)[None],
                 demon_pos.astype(jnp.int32),
                 necro_pos.astype(jnp.int32)[None],
+                bat_pos.astype(jnp.int32),
+                wraith_pos.astype(jnp.int32),
+                queen_pos.astype(jnp.int32)[None],
             ]
         )
         mob_level = jnp.concatenate(
@@ -331,6 +420,9 @@ class Forager(Environment):
                 jnp.asarray([W.DEEP], jnp.int32),
                 jnp.full(N_DEMONS, W.HELL, jnp.int32),
                 jnp.asarray([W.HELL], jnp.int32),
+                jnp.full(N_BATS, W.CAVE, jnp.int32),
+                jnp.full(N_WRAITHS, W.ICE_REALM, jnp.int32),
+                jnp.asarray([W.ICE_REALM], jnp.int32),
             ]
         )
         mob_alive = jnp.concatenate(
@@ -342,6 +434,9 @@ class Forager(Environment):
                 warden_open[None],
                 demon_open,
                 necro_open[None],
+                bat_open,
+                wraith_open,
+                queen_open[None],
             ]
         )
 
@@ -362,9 +457,11 @@ class Forager(Environment):
             regen_tick=jnp.asarray(0, jnp.int32),
             sleeping=jnp.asarray(False),
             mana=jnp.asarray(0, jnp.int32),
+            xp=jnp.asarray(0, jnp.int32),
             potion_map=jax.random.permutation(k_potion, NUM_POTIONS).astype(
                 jnp.int32
             ),
+            potions_tried=jnp.zeros(NUM_POTIONS, bool),
             inventory=jnp.zeros(NUM_INV, jnp.int32),
             achievements=jnp.zeros(NUM_ACHIEVEMENTS, bool),
             mob_pos=mob_pos,
@@ -429,10 +526,16 @@ class Forager(Environment):
 
         # ---- DO action ----------------------------------------------
         do = jnp.logical_and(action == A_DO, jnp.logical_not(sleeping))
+        # player level from kill XP (craftax's experience ladder): each
+        # level past 1 adds +1 melee damage; a ruby-enchanted sword +2
+        plevel = 1 + jnp.minimum(
+            state.xp // XP_PER_LEVEL, MAX_PLAYER_LEVEL - 1
+        )
         sword = (
             1 + inv[INV["wood_sword"]] + inv[INV["stone_sword"]] * 2
             + inv[INV["iron_sword"]] * 3 + inv[INV["diamond_sword"]] * 4
-        )  # damage 1..11
+            + (plevel - 1) + 2 * inv[INV["sword_enchant"]]
+        )
 
         # combat (mob on target tile takes priority over the block)
         mob_health = jnp.where(
@@ -467,6 +570,7 @@ class Forager(Environment):
         got_ruby = do_block & (tblock == W.RUBY) & has_ip
         got_sapphire = do_block & (tblock == W.SAPPHIRE) & has_dp
         got_obsidian = do_block & (tblock == W.OBSIDIAN) & has_dp
+        got_crystal = do_block & (tblock == W.CRYSTAL) & has_dp
         ate_plant = do_block & (tblock == W.PLANT_RIPE)
         went_down = do_block & (tblock == W.LADDER_DOWN)
         went_up = do_block & (tblock == W.LADDER_UP)
@@ -480,31 +584,45 @@ class Forager(Environment):
         ach = ach.at[_ACH["enter_hell"]].set(
             ach[_ACH["enter_hell"]] | (went_down & (state.level == W.DEEP))
         )
+        ach = ach.at[_ACH["enter_ice"]].set(
+            ach[_ACH["enter_ice"]] | (went_down & (state.level == W.HELL))
+        )
 
-        # loot chests: a random potion color, or (rarely) the spellbook
-        # that unlocks the fireball spell. One one-hot add, no scatter.
+        # loot chests: a random potion color, or (rarely) a book — the
+        # fireball spellbook on most floors, the FROST TOME (ice spell) in
+        # ice-realm chests. One one-hot add, no scatter.
         opened_chest = do_block & (tblock == W.CHEST)
         chest_roll = u_chest
         loot_color = jnp.minimum(
             jnp.floor(chest_roll / 0.28).astype(jnp.int32), NUM_POTIONS
-        )  # 0/1/2 potion with p=.28 each, else (p=.16) the spellbook
+        )  # 0/1/2 potion with p=.28 each, else (p=.16) the book
+        on_ice_floor = state.level == W.ICE_REALM
+        book_slot = jnp.where(
+            on_ice_floor, INV["frost_tome"], INV["spellbook"]
+        )
         loot_slot = jnp.where(
             loot_color < NUM_POTIONS,
             INV["potion_red"] + loot_color,
-            INV["spellbook"],
+            book_slot,
         )
         got_book = opened_chest & (loot_color == NUM_POTIONS)
         inv = inv + jax.nn.one_hot(
             loot_slot, NUM_INV, dtype=jnp.int32
         ) * opened_chest
         inv = inv.at[INV["spellbook"]].set(
-            jnp.minimum(inv[INV["spellbook"]], 1)  # the book doesn't stack
+            jnp.minimum(inv[INV["spellbook"]], 1)  # books don't stack
+        )
+        inv = inv.at[INV["frost_tome"]].set(
+            jnp.minimum(inv[INV["frost_tome"]], 1)
         )
         ach = ach.at[_ACH["open_chest"]].set(
             ach[_ACH["open_chest"]] | opened_chest
         )
         ach = ach.at[_ACH["learn_spell"]].set(
-            ach[_ACH["learn_spell"]] | got_book
+            ach[_ACH["learn_spell"]] | (got_book & ~on_ice_floor)
+        )
+        ach = ach.at[_ACH["learn_ice_spell"]].set(
+            ach[_ACH["learn_ice_spell"]] | (got_book & on_ice_floor)
         )
 
         inv = collect(got_wood, "wood")
@@ -516,12 +634,13 @@ class Forager(Environment):
         inv = collect(got_ruby, "ruby")
         inv = collect(got_sapphire, "sapphire")
         inv = collect(got_obsidian, "obsidian")
+        inv = collect(got_crystal, "crystal")
         drink = jnp.where(got_drink, jnp.minimum(state.drink + 3, 9), state.drink)
         food = jnp.where(ate_plant, jnp.minimum(food + 4, 9), food)
 
         mined = (
             got_stone | got_coal | got_iron | got_diamond | got_ruby
-            | got_sapphire | got_obsidian | opened_chest
+            | got_sapphire | got_obsidian | got_crystal | opened_chest
         )
 
         for cond, name in [
@@ -531,6 +650,7 @@ class Forager(Environment):
             (got_diamond, "collect_diamond"), (got_ruby, "collect_ruby"),
             (got_sapphire, "collect_sapphire"), (ate_plant, "eat_plant"),
             (got_obsidian, "collect_obsidian"),
+            (got_crystal, "collect_crystal"),
         ]:
             ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | cond)
 
@@ -555,6 +675,36 @@ class Forager(Environment):
         placed_plant = place(
             A_PLACE_PLANT, "sapling", 1, "place_plant", need_grass=True
         )
+        # two-cost places: a torch (wood+coal, lights the dungeon dark)
+        # and the enchantment table (stone+diamond, gates enchanting)
+        placed_torch = (
+            (action == A_PLACE_TORCH)
+            & placeable
+            & (inv[INV["wood"]] >= 1)
+            & (inv[INV["coal"]] >= 1)
+        )
+        inv = jnp.where(
+            placed_torch,
+            inv.at[INV["wood"]].add(-1).at[INV["coal"]].add(-1),
+            inv,
+        )
+        placed_ench = (
+            (action == A_PLACE_ENCHANT)
+            & placeable
+            & (inv[INV["stone"]] >= 1)
+            & (inv[INV["diamond"]] >= 1)
+        )
+        inv = jnp.where(
+            placed_ench,
+            inv.at[INV["stone"]].add(-1).at[INV["diamond"]].add(-1),
+            inv,
+        )
+        ach = ach.at[_ACH["place_torch"]].set(
+            ach[_ACH["place_torch"]] | placed_torch
+        )
+        ach = ach.at[_ACH["place_enchant_table"]].set(
+            ach[_ACH["place_enchant_table"]] | placed_ench
+        )
 
         # All per-step tile mutations target the SAME facing cell, so they
         # fold into ONE scatter (vmapped single-cell scatters are the
@@ -564,6 +714,8 @@ class Forager(Environment):
         tile_new = jnp.where(placed_stone, W.STONE, tile_new)
         tile_new = jnp.where(placed_table, W.TABLE, tile_new)
         tile_new = jnp.where(placed_furnace, W.FURNACE, tile_new)
+        tile_new = jnp.where(placed_torch, W.TORCH, tile_new)
+        tile_new = jnp.where(placed_ench, W.ENCHANT_TABLE, tile_new)
         # tile writes target the level the action happened on (pre-ladder).
         # NOTE: keep these as .at[].set scatters — a batched
         # dynamic_update_slice lowers 3x SLOWER here (measured on v5e).
@@ -643,6 +795,49 @@ class Forager(Environment):
         )
         ach = ach.at[_ACH["make_arrow"]].set(ach[_ACH["make_arrow"]] | arrow_ok)
 
+        # ---- ENCHANT actions (craftax's gem enchanting) ---------------
+        # at a placed enchantment table, a gem + mana permanently upgrades
+        # a piece of gear (once per episode per slot): ruby -> sword,
+        # sapphire -> bow, ice crystal -> armor
+        near_ench = (around == W.ENCHANT_TABLE).any()
+        has_any_sword = (
+            inv[INV["wood_sword"]] + inv[INV["stone_sword"]]
+            + inv[INV["iron_sword"]] + inv[INV["diamond_sword"]]
+        ) > 0
+        has_any_armor = (
+            inv[INV["iron_armor"]] + inv[INV["diamond_armor"]]
+        ) > 0
+
+        def enchant(act, mark, gem, has_gear, name):
+            nonlocal inv, ach
+            ok = (
+                (action == act)
+                & near_ench
+                & has_gear
+                & (inv[INV[mark]] == 0)
+                & (inv[INV[gem]] >= 1)
+                & (state.mana >= ENCHANT_COST)
+            )
+            inv = jnp.where(
+                ok, inv.at[INV[gem]].add(-1).at[INV[mark]].set(1), inv
+            )
+            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | ok)
+            return ok
+
+        ench_sword = enchant(
+            A_ENCH_SWORD, "sword_enchant", "ruby", has_any_sword,
+            "enchant_sword",
+        )
+        ench_bow = enchant(
+            A_ENCH_BOW, "bow_enchant", "sapphire", inv[INV["bow"]] > 0,
+            "enchant_bow",
+        )
+        ench_armor = enchant(
+            A_ENCH_ARMOR, "armor_enchant", "crystal", has_any_armor,
+            "enchant_armor",
+        )
+        enchanted = ench_sword | ench_bow | ench_armor
+
         # ---- SHOOT / CAST: projectiles down the facing ray -----------
         # Arrows (bow + arrow in inventory) and fireballs (spellbook +
         # mana) share one ray: it flies up to ARROW_RANGE tiles, stops at
@@ -662,8 +857,22 @@ class Forager(Environment):
             & (inv[INV["spellbook"]] > 0)
             & (state.mana >= SPELL_COST)
         )
-        proj = shoot | cast
-        proj_damage = jnp.where(cast, SPELL_DAMAGE, ARROW_DAMAGE)
+        cast_ice = (
+            (action == A_CAST_ICE)
+            & jnp.logical_not(sleeping)
+            & (inv[INV["frost_tome"]] > 0)
+            & (state.mana >= ICE_COST)
+        )
+        proj = shoot | cast | cast_ice
+        proj_damage = jnp.where(
+            cast,
+            SPELL_DAMAGE,
+            jnp.where(
+                cast_ice,
+                ICE_DAMAGE,
+                ARROW_DAMAGE + 2 * inv[INV["bow_enchant"]],
+            ),
+        )
         ray_d = jnp.arange(1, ARROW_RANGE + 1)
         ray = pos[None, :] + ray_d[:, None] * _DIRS[facing][None, :]  # (R, 2)
         ray_free = _WALKABLE[blocks[lvl, ray[:, 0], ray[:, 1]]]
@@ -683,11 +892,20 @@ class Forager(Environment):
         rd = jnp.where(on_ray, ray_d[None, :], ARROW_RANGE + 1).min(axis=1)
         nearest = rd.min()
         proj_lands = proj & (nearest <= ARROW_RANGE)
-        struck = proj_lands & (rd == nearest)
+        # arrows and fireballs strike the nearest mob; the ice bolt
+        # PIERCES — every mob with line-of-sight along the ray is struck
+        struck = jnp.where(
+            cast_ice,
+            cast_ice & on_ray.any(axis=1),
+            proj_lands & (rd == nearest),
+        )
         mob_health = jnp.where(struck, mob_health - proj_damage, mob_health)
         inv = jnp.where(shoot, inv.at[INV["arrow"]].add(-1), inv)
         ach = ach.at[_ACH["fire_bow"]].set(ach[_ACH["fire_bow"]] | shoot)
         ach = ach.at[_ACH["cast_spell"]].set(ach[_ACH["cast_spell"]] | cast)
+        ach = ach.at[_ACH["cast_ice_spell"]].set(
+            ach[_ACH["cast_ice_spell"]] | cast_ice
+        )
 
         # projectile kills (cows shot at range still feed you)
         shot = struck & (mob_health <= 0) & mob_alive
@@ -695,6 +913,12 @@ class Forager(Environment):
         shot_type = (shot[:, None] & _TYPE_ONEHOT).any(0)
         food = jnp.where(shot_type[MOB_COW], jnp.minimum(food + 6, 9), food)
         ach = ach.at[_MOB_ACH_IDS].set(ach[_MOB_ACH_IDS] | shot_type)
+
+        # experience: every kill this step banks its type's XP in one
+        # masked sum over the mob table
+        xp = state.xp + jnp.where(
+            melee_killed | shot, _XP_PER_KILL[MOB_TYPE], 0
+        ).sum()
 
         # ---- plant growth (surface only) ----------------------------
         surface = blocks[W.SURFACE]
@@ -743,10 +967,16 @@ class Forager(Environment):
         regen_tick = jnp.where(regen_tick >= 30, 0, regen_tick)
 
         # ---- mana + potions -----------------------------------------
-        # casting spends mana; otherwise it trickles back every 4 steps
+        # casting/enchanting spends mana (the three spenders are distinct
+        # actions, so at most one fires per step); otherwise it trickles
+        # back every 4 steps
+        mana_spend = (
+            cast * SPELL_COST + cast_ice * ICE_COST
+            + enchanted * ENCHANT_COST
+        )
         mana = jnp.where(
-            cast,
-            state.mana - SPELL_COST,
+            mana_spend > 0,
+            state.mana - mana_spend,
             jnp.minimum(state.mana + ((t % 4) == 0), MAX_MANA),
         )
         # drinking a potion: the color -> effect mapping was permuted at
@@ -777,6 +1007,9 @@ class Forager(Environment):
             health,
         )
         ach = ach.at[_ACH["drink_potion"]].set(ach[_ACH["drink_potion"]] | quaff)
+        potions_tried = state.potions_tried | (
+            quaff & (jnp.arange(NUM_POTIONS) == quaff_color)
+        )
 
         # ---- mob behavior -------------------------------------------
         # zombies: spawn at night near the player (the dungeon is always
@@ -856,8 +1089,12 @@ class Forager(Environment):
         )
         base_dmg = jnp.where(adj, _MELEE_DMG[MOB_TYPE], 0).max()
         # armor shaves a point per tier off melee hits (never below 1:
-        # even the NECROMANCER's claws chip a fully-armored player)
-        armor = inv[INV["iron_armor"]] + 2 * inv[INV["diamond_armor"]]
+        # even the ICE QUEEN's claws chip a fully-armored player); a
+        # crystal enchantment adds one more tier
+        armor = (
+            inv[INV["iron_armor"]] + 2 * inv[INV["diamond_armor"]]
+            + inv[INV["armor_enchant"]]
+        )
         base_dmg = jnp.where(
             base_dmg > 0, jnp.maximum(base_dmg - armor, 1), 0
         )
@@ -879,10 +1116,23 @@ class Forager(Environment):
                 & (inv[INV["sapphire"]] > 0),              # collect_all_gems
                 # health (not alive): a boss whose spawn placement failed
                 # was never alive but must not count as slain
-                (mob_health[WARDEN] <= 0) & (mob_health[NECRO] <= 0),
+                (mob_health[WARDEN] <= 0) & (mob_health[NECRO] <= 0)
+                & (mob_health[QUEEN] <= 0),
                 # full_belly: must be a REFILL (you spawn full)
                 (food >= 9) & (drink >= 9)
                 & ~((state.food >= 9) & (state.drink >= 9)),
+                cast_ice & shot.any(),                     # ice_kill
+                potions_tried.all(),                       # drink_all_potions
+                xp >= XP_PER_LEVEL,                        # level_up
+                xp >= (MAX_PLAYER_LEVEL - 1) * XP_PER_LEVEL,  # veteran
+                (inv[INV["wood_pickaxe"]] > 0)             # craft_all_tools
+                & (inv[INV["stone_pickaxe"]] > 0)
+                & (inv[INV["iron_pickaxe"]] > 0)
+                & (inv[INV["diamond_pickaxe"]] > 0)
+                & (inv[INV["wood_sword"]] > 0)
+                & (inv[INV["stone_sword"]] > 0)
+                & (inv[INV["iron_sword"]] > 0)
+                & (inv[INV["diamond_sword"]] > 0),
             ]
         )
         ach = ach | (derived[:, None] & _DERIVED_ONEHOT).any(0)
@@ -900,7 +1150,8 @@ class Forager(Environment):
             health=health, food=food, drink=drink, energy=energy,
             hunger=hunger, thirst=thirst, fatigue=fatigue,
             decay_tick=decay_tick, regen_tick=regen_tick,
-            sleeping=sleeping, mana=mana, potion_map=state.potion_map,
+            sleeping=sleeping, mana=mana, xp=xp,
+            potion_map=state.potion_map, potions_tried=potions_tried,
             inventory=inv, achievements=ach,
             mob_pos=mob_pos, mob_level=mob_level,
             mob_alive=mob_alive, mob_health=mob_health,
@@ -979,6 +1230,18 @@ class Forager(Environment):
                 ),
                 state.sleeping.astype(jnp.float32)[None],
                 state.level.astype(jnp.float32)[None] / (W.NUM_LEVELS - 1),
+                # XP ladder: current level (normalized) + progress to next
+                jnp.array(
+                    [
+                        jnp.minimum(
+                            state.xp // XP_PER_LEVEL, MAX_PLAYER_LEVEL - 1
+                        )
+                        / (MAX_PLAYER_LEVEL - 1),
+                        (state.xp % XP_PER_LEVEL) / XP_PER_LEVEL,
+                    ],
+                    jnp.float32,
+                ),
+                state.potions_tried.astype(jnp.float32),
             ]
         )
         return jnp.concatenate([grid, extras]).astype(jnp.float32)

@@ -35,14 +35,19 @@ RUBY = 17
 SAPPHIRE = 18
 OBSIDIAN = 19
 CHEST = 20
-NUM_BLOCK_TYPES = 21
+TORCH = 21
+ENCHANT_TABLE = 22
+ICE = 23
+CRYSTAL = 24
+NUM_BLOCK_TYPES = 25
 
 # map levels (craftax-style vertical depth)
 SURFACE = 0
 CAVE = 1
 DEEP = 2
 HELL = 3
-NUM_LEVELS = 4
+ICE_REALM = 4
+NUM_LEVELS = 5
 
 WORLD_SIZE = 48
 # The env stores the map PRE-PADDED with an INVALID border of PAD cells:
@@ -81,16 +86,20 @@ def generate_world(key: jax.Array) -> jax.Array:
     with forests and a stony highland seamed with ores — a CAVE level
     (craftax-style depth) of stone passages with much richer ore veins and
     lava hazards, a DEEP level of tight corridors, heavy lava, and the
-    richest diamond/ruby veins (ruby spawns nowhere else), and a HELL
-    level at the bottom: obsidian walls (diamond pickaxe to mine), lava
-    seas, and the densest loot chests. Chests holding potions and
+    richest diamond/ruby veins (ruby spawns nowhere else), a HELL
+    level of obsidian walls (diamond pickaxe to mine), lava
+    seas, and the densest loot chests, and an ICE REALM at the very
+    bottom (craftax's elemental end-floors): frozen ground, drinkable
+    melt pools, crystal ore in the walls (the enchanting reagent), and
+    guaranteed chest loot. Chests holding potions and
     spellbooks are scattered over every dungeon floor. Aligned ladder
     pairs connect each floor seam (craftax's multi-floor dungeon
     descent). int8 storage quarters HBM traffic for the scatter-heavy
     step function."""
-    key, k_cave, k_deep, k_hell, k_ladder, k_ladder2, k_ladder3 = (
-        jax.random.split(key, 7)
-    )
+    (
+        key, k_cave, k_deep, k_hell, k_ice,
+        k_ladder, k_ladder2, k_ladder3, k_ladder4,
+    ) = jax.random.split(key, 9)
     k_elev, k_detail, k_feat = jax.random.split(key, 3)
 
     elev = _value_noise(k_elev, WORLD_SIZE, 6) + 0.5 * _value_noise(
@@ -171,6 +180,21 @@ def generate_world(key: jax.Array) -> jax.Array:
     # lava seas: a fixed ~20% of the floor (always denser than DEEP's 8%)
     hell = jnp.where(hnoise > jnp.quantile(hnoise, 0.80), LAVA, hell)
 
+    # ---- ice realm ------------------------------------------------------
+    # the frozen bottom floor: walkable ICE ground, drinkable melt pools,
+    # CRYSTAL ore seamed through the stone walls (the enchanting reagent
+    # spawns nowhere else), no lava
+    k_inoise, k_ifeat = jax.random.split(k_ice)
+    inoise = _value_noise(k_inoise, WORLD_SIZE, 8)
+    ice = jnp.full((WORLD_SIZE, WORLD_SIZE), STONE, jnp.int8)
+    open_ice = inoise > -0.05  # ~50% frozen ground
+    ice = jnp.where(open_ice, ICE, ice)
+    # melt pools: a fixed ~6% of the floor is drinkable water
+    ice = jnp.where(inoise > jnp.quantile(inoise, 0.94), WATER, ice)
+    ifeat = jax.random.uniform(k_ifeat, (WORLD_SIZE, WORLD_SIZE))
+    iwall = ice == STONE
+    ice = jnp.where(iwall & (ifeat < 0.20), CRYSTAL, ice)
+
     # ---- loot chests ----------------------------------------------------
     # every dungeon floor hides chests on open ground, denser with depth
     cave = jnp.where((cave == PATH) & (cfeat > 0.995), CHEST, cave)
@@ -182,6 +206,10 @@ def generate_world(key: jax.Array) -> jax.Array:
     hscore = jnp.where(hell == PATH, hfeat, -1.0)
     hthresh = jnp.sort(hscore.ravel())[-12]
     hell = jnp.where((hscore >= hthresh) & (hscore > 0), CHEST, hell)
+    # ice realm: top-10 frozen cells hold the frost-tome loot pool
+    iscore = jnp.where(ice == ICE, ifeat, -1.0)
+    ithresh = jnp.sort(iscore.ravel())[-10]
+    ice = jnp.where((iscore >= ithresh) & (iscore > 0), CHEST, ice)
 
     # ---- aligned ladder pairs ------------------------------------------
     # two ladders per floor seam at random interior cells; the upper floor
@@ -189,7 +217,7 @@ def generate_world(key: jax.Array) -> jax.Array:
     # 3x3 cleared pocket (both sides carved so the seam is traversable)
     # row bands keep the two seams' ladder cells disjoint (a shared cell
     # would overwrite a cave LADDER_UP with a LADDER_DOWN)
-    third = (WORLD_SIZE - 12) // 3  # three disjoint row bands, one per seam
+    band = (WORLD_SIZE - 14) // 4  # four disjoint row bands, one per seam
     half = WORLD_SIZE // 2
 
     def _seam_pair(k, row_lo, row_hi):
@@ -204,9 +232,10 @@ def generate_world(key: jax.Array) -> jax.Array:
 
     # bands end 2 rows short of the next band: a pocket carve (radius 1)
     # from one seam must never reach another seam's ladder cell
-    lpos = _seam_pair(k_ladder, 6, 6 + third - 2)
-    lpos2 = _seam_pair(k_ladder2, 6 + third, 6 + 2 * third - 2)
-    lpos3 = _seam_pair(k_ladder3, 6 + 2 * third, WORLD_SIZE - 8)
+    lpos = _seam_pair(k_ladder, 6, 6 + band - 2)
+    lpos2 = _seam_pair(k_ladder2, 6 + band, 6 + 2 * band - 2)
+    lpos3 = _seam_pair(k_ladder3, 6 + 2 * band, 6 + 3 * band - 2)
+    lpos4 = _seam_pair(k_ladder4, 6 + 3 * band, WORLD_SIZE - 8)
     yy = jnp.arange(WORLD_SIZE)
 
     def _pocket(ly, lx):
@@ -237,7 +266,14 @@ def generate_world(key: jax.Array) -> jax.Array:
         hell = jnp.where(_pocket(ly, lx), jnp.int8(PATH), hell)
         hell = hell.at[ly, lx].set(LADDER_UP)
 
-    world = jnp.stack([blocks, cave, deep, hell]).astype(jnp.int8)
+    for i in range(2):
+        ly, lx = lpos4[i, 0], lpos4[i, 1]
+        hell = jnp.where(_pocket(ly, lx), jnp.int8(PATH), hell)
+        hell = hell.at[ly, lx].set(LADDER_DOWN)
+        ice = jnp.where(_pocket(ly, lx), jnp.int8(ICE), ice)
+        ice = ice.at[ly, lx].set(LADDER_UP)
+
+    world = jnp.stack([blocks, cave, deep, hell, ice]).astype(jnp.int8)
     return jnp.pad(
         world, ((0, 0), (PAD, PAD), (PAD, PAD)), constant_values=INVALID
     )

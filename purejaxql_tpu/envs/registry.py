@@ -39,6 +39,8 @@ def _populate():
     from purejaxql_tpu.envs.classic.pusher import Pusher
     from purejaxql_tpu.envs.classic.catch import Catch
     from purejaxql_tpu.envs.classic.deep_sea import DeepSea
+    from purejaxql_tpu.envs.classic.ball_in_cup import BallInCup
+    from purejaxql_tpu.envs.classic.walker import Walker
 
     _REGISTRY["CartPole-v1"] = CartPole
     _REGISTRY["Acrobot-v1"] = Acrobot
@@ -52,6 +54,8 @@ def _populate():
     _REGISTRY["Pusher-v0"] = Pusher
     _REGISTRY["Catch-bsuite"] = Catch
     _REGISTRY["DeepSea-bsuite"] = DeepSea
+    _REGISTRY["BallInCup-v0"] = BallInCup
+    _REGISTRY["Walker-v0"] = Walker
 
     try:
         from purejaxql_tpu.envs.minatar import (

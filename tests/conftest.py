@@ -9,27 +9,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# key the persistent compile cache by CPU fingerprint: XLA:CPU AOT
-# artifacts baked for one machine's vector extensions SIGILL when a
-# fleet scheduler moves the workspace to a host with different features
-def _cpu_tag():
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            info = f.read()
-        lines = [
-            ln for ln in info.splitlines()
-            if ln.startswith(("model name", "flags"))
-        ]
-        return hashlib.md5("\n".join(sorted(set(lines))).encode()).hexdigest()[:10]
-    except OSError:
-        return "default"
-
-
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_test_cache_{_cpu_tag()}"
-)
+# NO persistent compile cache for CPU test runs: XLA:CPU AOT executables
+# do not reliably survive the serialize/deserialize round trip on this
+# fleet — the loader flags its own artifacts as machine-mismatched
+# (tuning flags like +prefer-no-scatter are recorded as target features)
+# and large gather-heavy programs segfault in get_executable_and_time on
+# read-back, even within a single process. Recompiling across test
+# modules is slower but deterministic. (The TPU bench path keeps its own
+# cache — axon executables don't go through the CPU AOT loader.)
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 import pytest  # noqa: E402
 

@@ -149,12 +149,74 @@ def test_pusher_goal_bonus_and_reset_geometry():
     assert float(r) > 0.5, r
 
 
+def test_ball_in_cup_string_and_catch():
+    """The string constraint bounds the ball to the cup; a slow ball in
+    the mouth scores the sparse catch reward, a fast flythrough doesn't."""
+    env, params = make("BallInCup-v0")
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    # reset: ball hangs one string length below the cup
+    rel = np.asarray(state.ball - state.cup)
+    assert abs(np.linalg.norm(rel) - params.string_len) < 1e-5
+    # the string is inextensible under arbitrary cup waving
+    max_dist = 0.0
+    for t in range(150):
+        a = jnp.asarray([np.sin(t * 0.3), np.cos(t * 0.21)])
+        obs, state, r, d, _ = env.step(jax.random.PRNGKey(t), state, a, params)
+        dist = float(jnp.linalg.norm(state.ball - state.cup))
+        max_dist = max(max_dist, dist)
+    assert max_dist <= params.string_len + 1e-4, max_dist
+    # a slow ball resting in the mouth catches (reward >= 1)
+    caught = state.replace(
+        ball=state.cup + jnp.asarray([0.0, -params.mouth_depth / 2]),
+        ball_vel=state.cup_vel,
+        cup_vel=jnp.zeros(2) + state.cup_vel * 0,
+    )
+    caught = caught.replace(ball_vel=caught.cup_vel)
+    _, _, r1, _, _ = env.step(
+        jax.random.PRNGKey(999), caught, jnp.zeros(2), params
+    )
+    assert float(r1) >= 1.0, float(r1)
+    # the same geometry at high relative speed does NOT catch
+    fly = caught.replace(
+        ball_vel=caught.cup_vel + jnp.asarray([0.0, 3.0 * params.catch_speed])
+    )
+    _, _, r2, _, _ = env.step(jax.random.PRNGKey(998), fly, jnp.zeros(2), params)
+    assert float(r2) < 1.0, float(r2)
+
+
+def test_walker_two_leg_physics():
+    """Passive walker collapses; thrust on both legs sustains pogo-style
+    double-support hopping (the biped generalizes the hopper's SLIP)."""
+    env, params = make("Walker-v0")
+
+    def sim(a, steps=300):
+        obs, state = env.reset(jax.random.PRNGKey(3), params)
+        resets = 0
+        for t in range(steps):
+            obs, state, r, d, _ = env.step(
+                jax.random.PRNGKey(t), state, jnp.asarray(a), params
+            )
+            resets += int(bool(d))
+        return resets, state
+
+    passive_resets, _ = sim([0.0, 0.0, 0.0, 0.0])
+    thrust_resets, s_thrust = sim([0.0, 0.0, 0.9, 0.9])
+    assert passive_resets > thrust_resets, (passive_resets, thrust_resets)
+    assert thrust_resets == 0
+    # split-angle stance engages both legs at some point (double support
+    # exists) and single-leg thrust alone cannot match two legs
+    one_leg_resets, _ = sim([0.0, 0.0, 0.9, -1.0])
+    assert one_leg_resets >= thrust_resets
+
+
 @pytest.mark.parametrize(
     "alg,env_name",
     [
         ("pqn_dm_suite", "CartPoleSwingUp-v0"),
         ("pqn_dm_suite", "MountainCarContinuous-v0"),
+        ("pqn_dm_suite", "BallInCup-v0"),
         ("pqn_locomotion", "Hopper-v0"),
+        ("pqn_locomotion", "Walker-v0"),
         ("pqn_manipulation", "Pusher-v0"),
     ],
 )

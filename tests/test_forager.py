@@ -4,10 +4,23 @@ achievements, crafting chain."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from purejaxql_tpu.envs import make
 from purejaxql_tpu.envs.gridworld import forager as F
 from purejaxql_tpu.envs.gridworld import worldgen as W
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_test():
+    """This module's ~30 tests each eagerly compile several full env-step
+    programs on the 8-device mesh; letting the executables accumulate
+    aborts the process in native code around test ~23 (the same
+    thread/mapping exhaustion the conftest's module-scoped clear guards
+    against, hit within one module). Per-test clearing keeps the live
+    executable count flat."""
+    yield
+    jax.clear_caches()
 
 
 def test_world_composition():
@@ -392,12 +405,12 @@ def test_tier2_orcs_and_warden():
 
 
 def test_hell_floor_structure_and_descent():
-    """The dungeon bottoms out in HELL: obsidian walls (diamond pickaxe
-    to mine), lava seas, the densest chests, and a ladder seam from DEEP."""
+    """HELL: obsidian walls (diamond pickaxe to mine), lava seas, the
+    densest chests, and a ladder seam from DEEP."""
     env, params = make("Forager-v0")
     obs, state = env.reset(jax.random.PRNGKey(21), params)
     blocks = np.asarray(state.blocks)
-    assert blocks.shape[0] == W.NUM_LEVELS == 4
+    assert blocks.shape[0] == W.NUM_LEVELS
 
     assert (blocks[W.HELL] == W.OBSIDIAN).sum() > 100
     assert (blocks[W.HELL] == W.LAVA).sum() > (blocks[W.DEEP] == W.LAVA).sum()
@@ -674,4 +687,348 @@ def test_derived_achievements_latch():
     _, s3, _, _, _ = env.step(
         jax.random.PRNGKey(78), slain, jnp.asarray(F.A_NOOP), params
     )
-    assert bool(s3.achievements[F._ACH["slay_all_bosses"]])
+    # two of three bosses down is not enough — the ICE QUEEN remains
+    assert not bool(s3.achievements[F._ACH["slay_all_bosses"]])
+    all_slain = slain.replace(
+        mob_health=slain.mob_health.at[F.QUEEN].set(0),
+        mob_alive=slain.mob_alive.at[F.QUEEN].set(False),
+    )
+    _, s4, _, _, _ = env.step(
+        jax.random.PRNGKey(78), all_slain, jnp.asarray(F.A_NOOP), params
+    )
+    assert bool(s4.achievements[F._ACH["slay_all_bosses"]])
+
+
+# ---- tier-4 content: ice realm, enchanting, torches, XP, second spell ---
+
+
+def test_ice_realm_structure():
+    """The fifth floor is frozen ground with crystal ore, melt pools,
+    guaranteed chests, and an aligned ladder seam up to hell."""
+    env, params = make("Forager-v0")
+    _, state = env.reset(jax.random.PRNGKey(80), params)
+    blocks = np.asarray(state.blocks)
+    assert blocks.shape[0] == W.NUM_LEVELS == 5
+    ice = np.bincount(blocks[W.ICE_REALM].ravel(), minlength=W.NUM_BLOCK_TYPES)
+    hell = np.bincount(blocks[W.HELL].ravel(), minlength=W.NUM_BLOCK_TYPES)
+    assert ice[W.ICE] > 300, "ice realm should be mostly frozen ground"
+    assert ice[W.CRYSTAL] > 10, "crystal ore seams the walls"
+    assert ice[W.WATER] > 20, "melt pools are drinkable"
+    assert ice[W.CHEST] == 10, "guaranteed frost-tome loot pool"
+    assert ice[W.LAVA] == 0, "no lava in the ice realm"
+    assert hell[W.LADDER_DOWN] == 2 and ice[W.LADDER_UP] == 2
+    # seams align: every hell LADDER_DOWN sits on an ice LADDER_UP cell
+    down = np.argwhere(blocks[W.HELL] == W.LADDER_DOWN)
+    for y, x in down:
+        assert blocks[W.ICE_REALM, y, x] == W.LADDER_UP
+    # wraiths + queen spawn on the ice floor
+    assert int(state.mob_alive[F.WRAITHS].sum()) >= 2
+    assert bool(state.mob_alive[F.QUEEN])
+    assert int(state.mob_level[F.QUEEN]) == W.ICE_REALM
+
+
+def test_place_torch_and_enchant_table():
+    env, params = make("Forager-v0")
+    _, state = env.reset(jax.random.PRNGKey(81), params)
+    blocks = np.asarray(state.blocks[W.SURFACE])
+    gy, gx = np.argwhere(blocks == W.GRASS)[200]
+    state = state.replace(
+        pos=jnp.asarray([gy + 1, gx], jnp.int32), facing=jnp.asarray(0),
+        inventory=state.inventory.at[F.INV["wood"]].set(1)
+        .at[F.INV["coal"]].set(1),
+    )
+    _, s1, r1, _, _ = env.step(
+        jax.random.PRNGKey(82), state, jnp.asarray(F.A_PLACE_TORCH), params
+    )
+    assert int(s1.blocks[W.SURFACE, gy, gx]) == W.TORCH
+    assert bool(s1.achievements[F._ACH["place_torch"]])
+    assert int(s1.inventory[F.INV["wood"]]) == 0
+    assert int(s1.inventory[F.INV["coal"]]) == 0
+    # enchant table: stone + diamond on a fresh tile
+    gy2, gx2 = np.argwhere(blocks == W.GRASS)[300]
+    s2 = s1.replace(
+        pos=jnp.asarray([gy2 + 1, gx2], jnp.int32), facing=jnp.asarray(0),
+        inventory=s1.inventory.at[F.INV["stone"]].set(1)
+        .at[F.INV["diamond"]].set(1),
+    )
+    _, s3, _, _, _ = env.step(
+        jax.random.PRNGKey(83), s2, jnp.asarray(F.A_PLACE_ENCHANT), params
+    )
+    assert int(s3.blocks[W.SURFACE, gy2, gx2]) == W.ENCHANT_TABLE
+    assert bool(s3.achievements[F._ACH["place_enchant_table"]])
+    # without resources nothing places
+    bare = state.replace(inventory=jnp.zeros_like(state.inventory))
+    _, s4, _, _, _ = env.step(
+        jax.random.PRNGKey(84), bare, jnp.asarray(F.A_PLACE_TORCH), params
+    )
+    assert int(s4.blocks[W.SURFACE, gy, gx]) != W.TORCH
+
+
+def test_enchanting_gates_and_effects():
+    """Enchants need the table adjacent, the gear, the gem, and mana;
+    they consume the gem + mana and set the 0/1 enchant mark."""
+    env, params = make("Forager-v0")
+    _, state = env.reset(jax.random.PRNGKey(85), params)
+    blocks = np.asarray(state.blocks[W.SURFACE])
+    gy, gx = np.argwhere(blocks == W.GRASS)[250]
+    inv = (
+        state.inventory.at[F.INV["ruby"]].set(1)
+        .at[F.INV["sapphire"]].set(1)
+        .at[F.INV["crystal"]].set(1)
+        .at[F.INV["iron_sword"]].set(1)
+        .at[F.INV["bow"]].set(1)
+        .at[F.INV["iron_armor"]].set(1)
+    )
+    near = state.replace(
+        pos=jnp.asarray([gy + 1, gx], jnp.int32),
+        blocks=state.blocks.at[W.SURFACE, gy, gx].set(W.ENCHANT_TABLE),
+        inventory=inv,
+        mana=jnp.asarray(9, jnp.int32),
+    )
+    _, s1, _, _, _ = env.step(
+        jax.random.PRNGKey(86), near, jnp.asarray(F.A_ENCH_SWORD), params
+    )
+    assert int(s1.inventory[F.INV["sword_enchant"]]) == 1
+    assert int(s1.inventory[F.INV["ruby"]]) == 0
+    assert int(s1.mana) == 9 - F.ENCHANT_COST
+    assert bool(s1.achievements[F._ACH["enchant_sword"]])
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(87), s1, jnp.asarray(F.A_ENCH_BOW), params
+    )
+    assert int(s2.inventory[F.INV["bow_enchant"]]) == 1
+    assert bool(s2.achievements[F._ACH["enchant_bow"]])
+    _, s3, _, _, _ = env.step(
+        jax.random.PRNGKey(88), s2, jnp.asarray(F.A_ENCH_ARMOR), params
+    )
+    assert int(s3.inventory[F.INV["armor_enchant"]]) == 1
+    assert bool(s3.achievements[F._ACH["enchant_armor"]])
+    # away from the table nothing enchants
+    far = near.replace(
+        blocks=state.blocks, mana=jnp.asarray(9, jnp.int32)
+    )
+    _, s4, _, _, _ = env.step(
+        jax.random.PRNGKey(89), far, jnp.asarray(F.A_ENCH_SWORD), params
+    )
+    assert int(s4.inventory[F.INV["sword_enchant"]]) == 0
+    # no mana -> no enchant
+    dry = near.replace(mana=jnp.asarray(0, jnp.int32))
+    _, s5, _, _, _ = env.step(
+        jax.random.PRNGKey(90), dry, jnp.asarray(F.A_ENCH_SWORD), params
+    )
+    assert int(s5.inventory[F.INV["sword_enchant"]]) == 0
+
+
+def test_crystal_mining_needs_diamond_pickaxe():
+    env, params = make("Forager-v0")
+    _, state = env.reset(jax.random.PRNGKey(91), params)
+    blocks = np.asarray(state.blocks[W.ICE_REALM])
+    # find a crystal with walkable ice below it
+    for cy, cx in np.argwhere(blocks == W.CRYSTAL):
+        if blocks[cy + 1, cx] == W.ICE:
+            break
+    else:
+        raise AssertionError("no minable crystal found")
+    below = state.replace(
+        level=jnp.asarray(W.ICE_REALM, jnp.int32),
+        pos=jnp.asarray([cy + 1, cx], jnp.int32),
+        facing=jnp.asarray(0),
+    )
+    _, s1, _, _, _ = env.step(
+        jax.random.PRNGKey(92), below, jnp.asarray(F.A_DO), params
+    )
+    assert int(s1.inventory[F.INV["crystal"]]) == 0, "bare hands mined crystal"
+    armed = below.replace(
+        inventory=below.inventory.at[F.INV["diamond_pickaxe"]].set(1)
+    )
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(93), armed, jnp.asarray(F.A_DO), params
+    )
+    assert int(s2.inventory[F.INV["crystal"]]) == 1
+    assert bool(s2.achievements[F._ACH["collect_crystal"]])
+    assert int(s2.blocks[W.ICE_REALM, cy, cx]) == W.PATH
+
+
+def test_ice_bolt_pierces_all_mobs_on_ray():
+    """The ice bolt strikes EVERY mob along the ray (the fireball and bow
+    stop at the nearest); kills bank XP and latch ice_kill."""
+    env, params = make("Forager-v0")
+    _, state = env.reset(jax.random.PRNGKey(94), params)
+    y, x = 20, 20
+    carved = state.blocks.at[W.SURFACE, y, x : x + 6].set(W.GRASS)
+    # two 1-hp bats at range 2 and 4 along the facing-right ray
+    state = state.replace(
+        blocks=carved,
+        pos=jnp.asarray([y, x], jnp.int32),
+        facing=jnp.asarray(1),
+        mob_pos=state.mob_pos.at[F.BATS.start].set(jnp.array([y, x + 2]))
+        .at[F.BATS.start + 1].set(jnp.array([y, x + 4])),
+        mob_level=state.mob_level.at[F.BATS.start].set(W.SURFACE)
+        .at[F.BATS.start + 1].set(W.SURFACE),
+        mob_alive=state.mob_alive.at[F.BATS.start].set(True)
+        .at[F.BATS.start + 1].set(True),
+        mob_health=state.mob_health.at[F.BATS.start].set(1)
+        .at[F.BATS.start + 1].set(1),
+        inventory=state.inventory.at[F.INV["frost_tome"]].set(1),
+        mana=jnp.asarray(9, jnp.int32),
+    )
+    _, s1, r, _, _ = env.step(
+        jax.random.PRNGKey(95), state, jnp.asarray(F.A_CAST_ICE), params
+    )
+    assert not bool(s1.mob_alive[F.BATS.start]), "near bat survived"
+    assert not bool(s1.mob_alive[F.BATS.start + 1]), "pierce missed far bat"
+    assert bool(s1.achievements[F._ACH["cast_ice_spell"]])
+    assert bool(s1.achievements[F._ACH["ice_kill"]])
+    assert bool(s1.achievements[F._ACH["defeat_bat"]])
+    assert int(s1.mana) == 9 - F.ICE_COST
+    assert int(s1.xp) == 2  # two bat kills x 1 XP
+    # the fireball on the same setup only strikes the NEAR mob
+    fire = state.replace(
+        inventory=state.inventory.at[F.INV["spellbook"]].set(1)
+    )
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(96), fire, jnp.asarray(F.A_CAST), params
+    )
+    assert not bool(s2.mob_alive[F.BATS.start])
+    assert bool(s2.mob_alive[F.BATS.start + 1]), "fireball should not pierce"
+
+
+def test_frost_tome_only_from_ice_chests():
+    """Ice-realm chests drop the frost tome in the book slot; chests on
+    other floors drop the fireball spellbook."""
+    env, params = make("Forager-v0")
+    _, state = env.reset(jax.random.PRNGKey(97), params)
+    blocks = np.asarray(state.blocks[W.ICE_REALM])
+    for cy, cx in np.argwhere(blocks == W.CHEST):
+        if blocks[cy + 1, cx] == W.ICE:
+            break
+    else:
+        raise AssertionError("no reachable ice chest")
+    base = state.replace(
+        level=jnp.asarray(W.ICE_REALM, jnp.int32),
+        pos=jnp.asarray([cy + 1, cx], jnp.int32),
+        facing=jnp.asarray(0),
+    )
+    got_tome = got_spellbook = False
+    for seed in range(40):
+        _, s1, _, _, _ = env.step(
+            jax.random.PRNGKey(200 + seed), base, jnp.asarray(F.A_DO), params
+        )
+        got_tome |= int(s1.inventory[F.INV["frost_tome"]]) > 0
+        got_spellbook |= int(s1.inventory[F.INV["spellbook"]]) > 0
+        if int(s1.inventory[F.INV["frost_tome"]]) > 0:
+            assert bool(s1.achievements[F._ACH["learn_ice_spell"]])
+            assert not bool(s1.achievements[F._ACH["learn_spell"]])
+    assert got_tome, "40 ice chests never dropped the frost tome"
+    assert not got_spellbook, "ice chest dropped a fireball spellbook"
+
+
+def test_xp_ladder_levels_and_melee_bonus():
+    env, params = make("Forager-v0")
+    _, state = env.reset(jax.random.PRNGKey(98), params)
+    # 7 XP + a 1-XP bat kill crosses the level-2 threshold
+    y, x = 20, 20
+    carved = state.blocks.at[W.SURFACE, y, x : x + 3].set(W.GRASS)
+    state = state.replace(
+        blocks=carved,
+        pos=jnp.asarray([y, x], jnp.int32),
+        facing=jnp.asarray(1),
+        xp=jnp.asarray(7, jnp.int32),
+        mob_pos=state.mob_pos.at[F.BATS.start].set(jnp.array([y, x + 1])),
+        mob_level=state.mob_level.at[F.BATS.start].set(W.SURFACE),
+        mob_alive=state.mob_alive.at[F.BATS.start].set(True),
+        mob_health=state.mob_health.at[F.BATS.start].set(1),
+    )
+    _, s1, _, _, _ = env.step(
+        jax.random.PRNGKey(99), state, jnp.asarray(F.A_DO), params
+    )
+    assert int(s1.xp) == 8
+    assert bool(s1.achievements[F._ACH["level_up"]])
+    assert not bool(s1.achievements[F._ACH["veteran"]])
+    # at 32+ XP the veteran feat latches on the next kill-bearing step
+    vet = s1.replace(xp=jnp.asarray(32, jnp.int32))
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(100), vet, jnp.asarray(F.A_NOOP), params
+    )
+    assert bool(s2.achievements[F._ACH["veteran"]])
+    # melee bonus: a level-5 player one-shots a zombie a level-1 can't.
+    # Run at NIGHT — surface zombies despawn at dawn, which would read
+    # as a phantom kill here.
+    zy, zx = y, x + 1
+    def zombie_state(xp):
+        return state.replace(
+            xp=jnp.asarray(xp, jnp.int32),
+            time=jnp.asarray(160, jnp.int32),
+            mob_pos=state.mob_pos.at[F.ZOMBIES.start].set(
+                jnp.array([zy, zx])
+            ),
+            mob_level=state.mob_level.at[F.ZOMBIES.start].set(W.SURFACE),
+            mob_alive=state.mob_alive.at[F.ZOMBIES.start]
+            .set(True)
+            .at[F.BATS.start]
+            .set(False),
+            mob_health=state.mob_health.at[F.ZOMBIES.start].set(5),
+        )
+    _, weak, _, _, _ = env.step(
+        jax.random.PRNGKey(101), zombie_state(0), jnp.asarray(F.A_DO), params
+    )
+    assert bool(weak.mob_alive[F.ZOMBIES.start]), "level 1 one-shot a zombie"
+    _, strong, _, _, _ = env.step(
+        jax.random.PRNGKey(101), zombie_state(99), jnp.asarray(F.A_DO), params
+    )
+    assert not bool(strong.mob_alive[F.ZOMBIES.start])
+
+
+def test_drink_all_potions_latches():
+    env, params = make("Forager-v0")
+    _, state = env.reset(jax.random.PRNGKey(102), params)
+    state = state.replace(
+        inventory=state.inventory.at[F.INV["potion_red"]].set(1)
+        .at[F.INV["potion_green"]].set(1)
+        .at[F.INV["potion_blue"]].set(1),
+        health=jnp.asarray(9, jnp.int32),
+    )
+    for a in (F.A_DRINK_RED, F.A_DRINK_GREEN):
+        _, state, _, _, _ = env.step(
+            jax.random.PRNGKey(103), state, jnp.asarray(a), params
+        )
+    assert not bool(state.achievements[F._ACH["drink_all_potions"]])
+    _, state, _, _, _ = env.step(
+        jax.random.PRNGKey(104), state, jnp.asarray(F.A_DRINK_BLUE), params
+    )
+    assert bool(state.achievements[F._ACH["drink_all_potions"]])
+    assert bool(state.achievements[F._ACH["drink_potion"]])
+
+
+def test_ice_queen_fight_and_craft_all_tools():
+    env, params = make("Forager-v0")
+    _, state = env.reset(jax.random.PRNGKey(105), params)
+    qy, qx = int(state.mob_pos[F.QUEEN, 0]), int(state.mob_pos[F.QUEEN, 1])
+    # stand under the queen on the ice floor with a worn-down boss
+    fight = state.replace(
+        level=jnp.asarray(W.ICE_REALM, jnp.int32),
+        pos=jnp.asarray([qy + 1, qx], jnp.int32),
+        facing=jnp.asarray(0),
+        mob_alive=state.mob_alive.at[F.QUEEN].set(True),
+        mob_health=state.mob_health.at[F.QUEEN].set(1),
+    )
+    _, s1, _, _, _ = env.step(
+        jax.random.PRNGKey(106), fight, jnp.asarray(F.A_DO), params
+    )
+    assert not bool(s1.mob_alive[F.QUEEN])
+    assert bool(s1.achievements[F._ACH["defeat_ice_queen"]])
+    assert int(s1.xp) == 5  # boss kill XP
+    # craft_all_tools: the full pickaxe + sword racks latch the feat
+    racks = state.replace(
+        inventory=state.inventory.at[F.INV["wood_pickaxe"]].set(1)
+        .at[F.INV["stone_pickaxe"]].set(1)
+        .at[F.INV["iron_pickaxe"]].set(1)
+        .at[F.INV["diamond_pickaxe"]].set(1)
+        .at[F.INV["wood_sword"]].set(1)
+        .at[F.INV["stone_sword"]].set(1)
+        .at[F.INV["iron_sword"]].set(1)
+        .at[F.INV["diamond_sword"]].set(1)
+    )
+    _, s2, _, _, _ = env.step(
+        jax.random.PRNGKey(107), racks, jnp.asarray(F.A_NOOP), params
+    )
+    assert bool(s2.achievements[F._ACH["craft_all_tools"]])
