@@ -140,6 +140,9 @@ _MOB_ACH_IDS = jnp.array(
         _ACH["defeat_wraith"], _ACH["defeat_ice_queen"],
     ]
 )
+_MOB_ACH_ONEHOT = (
+    _MOB_ACH_IDS[:, None] == jnp.arange(NUM_ACHIEVEMENTS)[None, :]
+)
 # XP granted per kill by mob type (craftax's experience system): trash
 # mobs 1, tier mobs 2, bosses 5; cows are food, not XP
 _XP_PER_KILL = jnp.array([0, 1, 1, 2, 5, 2, 5, 1, 2, 5], jnp.int32)
@@ -491,6 +494,17 @@ class Forager(Environment):
         u_walk = u[26 + 2 * N_MOBS : 26 + 3 * N_MOBS]
         old_health = state.health
         ach = state.achievements
+        # Achievement grants are monotonic ORs nothing reads mid-step, so
+        # they DEFER: each (static id, cond) pair lands in this list and
+        # ONE masked OR at the end of the step commits them all. The
+        # ~30 per-id .at[i].set() scatters this replaces were each their
+        # own kernel dispatch — a large slice of the step's dispatch
+        # budget at 1024 envs.
+        grants = []
+
+        def grant(name, cond):
+            grants.append((_ACH[name], cond))
+
         inv = state.inventory
         blocks = state.blocks
         lvl = state.level
@@ -547,7 +561,7 @@ class Forager(Environment):
         food = jnp.where(
             killed_type[MOB_COW], jnp.minimum(state.food + 6, 9), state.food
         )
-        ach = ach.at[_MOB_ACH_IDS].set(ach[_MOB_ACH_IDS] | killed_type)
+        mob_kill_types = killed_type  # first-kill feats commit at step end
 
         do_block = jnp.logical_and(do, jnp.logical_not(any_mob))
 
@@ -575,18 +589,10 @@ class Forager(Environment):
         went_down = do_block & (tblock == W.LADDER_DOWN)
         went_up = do_block & (tblock == W.LADDER_UP)
         lvl = jnp.where(went_down, lvl + 1, jnp.where(went_up, lvl - 1, lvl))
-        ach = ach.at[_ACH["enter_cave"]].set(
-            ach[_ACH["enter_cave"]] | (went_down & (state.level == W.SURFACE))
-        )
-        ach = ach.at[_ACH["enter_deep"]].set(
-            ach[_ACH["enter_deep"]] | (went_down & (state.level == W.CAVE))
-        )
-        ach = ach.at[_ACH["enter_hell"]].set(
-            ach[_ACH["enter_hell"]] | (went_down & (state.level == W.DEEP))
-        )
-        ach = ach.at[_ACH["enter_ice"]].set(
-            ach[_ACH["enter_ice"]] | (went_down & (state.level == W.HELL))
-        )
+        grant("enter_cave", went_down & (state.level == W.SURFACE))
+        grant("enter_deep", went_down & (state.level == W.CAVE))
+        grant("enter_hell", went_down & (state.level == W.DEEP))
+        grant("enter_ice", went_down & (state.level == W.HELL))
 
         # loot chests: a random potion color, or (rarely) a book — the
         # fireball spellbook on most floors, the FROST TOME (ice spell) in
@@ -615,15 +621,9 @@ class Forager(Environment):
         inv = inv.at[INV["frost_tome"]].set(
             jnp.minimum(inv[INV["frost_tome"]], 1)
         )
-        ach = ach.at[_ACH["open_chest"]].set(
-            ach[_ACH["open_chest"]] | opened_chest
-        )
-        ach = ach.at[_ACH["learn_spell"]].set(
-            ach[_ACH["learn_spell"]] | (got_book & ~on_ice_floor)
-        )
-        ach = ach.at[_ACH["learn_ice_spell"]].set(
-            ach[_ACH["learn_ice_spell"]] | (got_book & on_ice_floor)
-        )
+        grant("open_chest", opened_chest)
+        grant("learn_spell", got_book & ~on_ice_floor)
+        grant("learn_ice_spell", got_book & on_ice_floor)
 
         inv = collect(got_wood, "wood")
         inv = collect(got_sapling, "sapling")
@@ -652,13 +652,13 @@ class Forager(Environment):
             (got_obsidian, "collect_obsidian"),
             (got_crystal, "collect_crystal"),
         ]:
-            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | cond)
+            grant(name, cond)
 
         # ---- PLACE actions ------------------------------------------
         placeable = _PLACEABLE[tblock] & jnp.logical_not(any_mob)
 
         def place(act, cost_item, cost_n, name, need_grass=False):
-            nonlocal inv, ach
+            nonlocal inv
             ok = (
                 (action == act)
                 & placeable
@@ -666,7 +666,7 @@ class Forager(Environment):
                 & (jnp.logical_not(need_grass) | (tblock == W.GRASS))
             )
             inv = jnp.where(ok, inv.at[INV[cost_item]].add(-cost_n), inv)
-            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | ok)
+            grant(name, ok)
             return ok
 
         placed_stone = place(A_PLACE_STONE, "stone", 1, "place_stone")
@@ -699,12 +699,8 @@ class Forager(Environment):
             inv.at[INV["stone"]].add(-1).at[INV["diamond"]].add(-1),
             inv,
         )
-        ach = ach.at[_ACH["place_torch"]].set(
-            ach[_ACH["place_torch"]] | placed_torch
-        )
-        ach = ach.at[_ACH["place_enchant_table"]].set(
-            ach[_ACH["place_enchant_table"]] | placed_ench
-        )
+        grant("place_torch", placed_torch)
+        grant("place_enchant_table", placed_ench)
 
         # All per-step tile mutations target the SAME facing cell, so they
         # fold into ONE scatter (vmapped single-cell scatters are the
@@ -741,7 +737,7 @@ class Forager(Environment):
         near_furnace = (around == W.FURNACE).any()
 
         def craft(act, out_item, costs, name, need_furnace=False):
-            nonlocal inv, ach
+            nonlocal inv
             ok = (
                 (action == act)
                 & near_table
@@ -753,7 +749,7 @@ class Forager(Environment):
             for item, n in costs:
                 inv = jnp.where(ok, inv.at[INV[item]].add(-n), inv)
             inv = jnp.where(ok, inv.at[INV[out_item]].set(1), inv)
-            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | ok)
+            grant(name, ok)
 
         craft(A_MAKE_WP, "wood_pickaxe", [("wood", 1)], "make_wood_pickaxe")
         craft(A_MAKE_SP, "stone_pickaxe", [("wood", 1), ("stone", 1)],
@@ -793,7 +789,7 @@ class Forager(Environment):
             .at[INV["arrow"]].add(ARROWS_PER_CRAFT),
             inv,
         )
-        ach = ach.at[_ACH["make_arrow"]].set(ach[_ACH["make_arrow"]] | arrow_ok)
+        grant("make_arrow", arrow_ok)
 
         # ---- ENCHANT actions (craftax's gem enchanting) ---------------
         # at a placed enchantment table, a gem + mana permanently upgrades
@@ -809,7 +805,7 @@ class Forager(Environment):
         ) > 0
 
         def enchant(act, mark, gem, has_gear, name):
-            nonlocal inv, ach
+            nonlocal inv
             ok = (
                 (action == act)
                 & near_ench
@@ -821,7 +817,7 @@ class Forager(Environment):
             inv = jnp.where(
                 ok, inv.at[INV[gem]].add(-1).at[INV[mark]].set(1), inv
             )
-            ach = ach.at[_ACH[name]].set(ach[_ACH[name]] | ok)
+            grant(name, ok)
             return ok
 
         ench_sword = enchant(
@@ -901,18 +897,16 @@ class Forager(Environment):
         )
         mob_health = jnp.where(struck, mob_health - proj_damage, mob_health)
         inv = jnp.where(shoot, inv.at[INV["arrow"]].add(-1), inv)
-        ach = ach.at[_ACH["fire_bow"]].set(ach[_ACH["fire_bow"]] | shoot)
-        ach = ach.at[_ACH["cast_spell"]].set(ach[_ACH["cast_spell"]] | cast)
-        ach = ach.at[_ACH["cast_ice_spell"]].set(
-            ach[_ACH["cast_ice_spell"]] | cast_ice
-        )
+        grant("fire_bow", shoot)
+        grant("cast_spell", cast)
+        grant("cast_ice_spell", cast_ice)
 
         # projectile kills (cows shot at range still feed you)
         shot = struck & (mob_health <= 0) & mob_alive
         mob_alive = mob_alive & ~shot
         shot_type = (shot[:, None] & _TYPE_ONEHOT).any(0)
         food = jnp.where(shot_type[MOB_COW], jnp.minimum(food + 6, 9), food)
-        ach = ach.at[_MOB_ACH_IDS].set(ach[_MOB_ACH_IDS] | shot_type)
+        mob_kill_types = mob_kill_types | shot_type
 
         # experience: every kill this step banks its type's XP in one
         # masked sum over the mob table
@@ -936,7 +930,7 @@ class Forager(Environment):
         sleeping = jnp.where(wants_sleep & is_night, True, sleeping)
         woke = jnp.logical_and(state.sleeping, jnp.logical_not(is_night))
         sleeping = jnp.where(woke, False, sleeping)
-        ach = ach.at[_ACH["wake_up"]].set(ach[_ACH["wake_up"]] | woke)
+        grant("wake_up", woke)
 
         # ---- needs decay / regen ------------------------------------
         hunger = state.hunger + 1
@@ -1006,7 +1000,7 @@ class Forager(Environment):
             quaff & (effect == POTION_POISON), jnp.maximum(health - 2, 0),
             health,
         )
-        ach = ach.at[_ACH["drink_potion"]].set(ach[_ACH["drink_potion"]] | quaff)
+        grant("drink_potion", quaff)
         potions_tried = state.potions_tried | (
             quaff & (jnp.arange(NUM_POTIONS) == quaff_color)
         )
@@ -1104,6 +1098,15 @@ class Forager(Environment):
             0,
         )
         health = jnp.maximum(health - dmg, 0)
+
+        # ---- commit the deferred achievement grants ------------------
+        # one (n_grants, NUM_ACH) constant mask & one (n_mob_types,
+        # NUM_ACH) mask replace ~30 per-id scatter kernels
+        g_ids = jnp.asarray([i for i, _ in grants])
+        g_conds = jnp.stack([c for _, c in grants])
+        g_mask = g_ids[:, None] == jnp.arange(NUM_ACHIEVEMENTS)[None, :]
+        ach = ach | (g_conds[:, None] & g_mask).any(0)
+        ach = ach | (mob_kill_types[:, None] & _MOB_ACH_ONEHOT).any(0)
 
         # ---- derived achievements -----------------------------------
         # latched conditions over current state, OR'd in via ONE vector

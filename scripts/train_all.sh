@@ -32,10 +32,22 @@ run +alg=pqn_minatar ENV_NAME=Breakout-MinAtar
 run +alg=pqn_minatar ENV_NAME=Asterix-MinAtar
 run +alg=pqn_minatar ENV_NAME=SpaceInvaders-MinAtar
 run +alg=pqn_minatar ENV_NAME=Freeway-MinAtar
+run +alg=pqn_minatar ENV_NAME=Seaquest-MinAtar
 run +alg=pqn_craftax NUM_ENVS=256
 run +alg=pqn_rnn_cartpole
 run +alg=pqn_rnn_memory_chain
+run +alg=pqn_rnn_craftax NUM_ENVS=256
 run +alg=pqn_vdn_spread
+run +alg=pqn_vdn_smax
+run +alg=pqn_vdn_kitchen
+run +alg=pqn_vdn_hanabi
 run +alg=pqn_pendulum
+run +alg=pqn_reacher
+run +alg=pqn_dm_suite
+run +alg=pqn_dm_suite ENV_NAME=MountainCarContinuous-v0
+run +alg=pqn_dm_suite ENV_NAME=BallInCup-v0
+run +alg=pqn_locomotion
+run +alg=pqn_locomotion ENV_NAME=Walker-v0
+run +alg=pqn_manipulation
 
 echo "all configs trained."
