@@ -216,6 +216,93 @@ MAX_MANA = 9
 # (+1 protection)
 ENCHANT_COST = 3  # mana per enchantment
 
+
+# ---- table-driven interactions ----------------------------------------
+# Crafting, placing, and enchanting each fold into ONE vectorized pass
+# over a static spec table (like the mob table above): per-recipe Python
+# chains each lowered to their own where/scatter kernels, and at 1024
+# envs the step is kernel-dispatch-bound — a (N_RECIPES, NUM_INV) compare
+# + masked-sum is the same work in ~6 fused ops.
+def _cost_row(costs):
+    row = [0] * NUM_INV
+    for item, n in costs:
+        row[INV[item]] = n
+    return row
+
+
+# (action, output slot, costs, needs furnace, achievement)
+_CRAFT_SPECS = [
+    (A_MAKE_WP, "wood_pickaxe", [("wood", 1)], False, "make_wood_pickaxe"),
+    (A_MAKE_SP, "stone_pickaxe", [("wood", 1), ("stone", 1)], False,
+     "make_stone_pickaxe"),
+    (A_MAKE_IP, "iron_pickaxe", [("wood", 1), ("coal", 1), ("iron", 1)],
+     True, "make_iron_pickaxe"),
+    (A_MAKE_WS, "wood_sword", [("wood", 1)], False, "make_wood_sword"),
+    (A_MAKE_SS, "stone_sword", [("wood", 1), ("stone", 1)], False,
+     "make_stone_sword"),
+    (A_MAKE_IS, "iron_sword", [("wood", 1), ("coal", 1), ("iron", 1)],
+     True, "make_iron_sword"),
+    (A_MAKE_DP, "diamond_pickaxe", [("wood", 1), ("diamond", 2)], True,
+     "make_diamond_pickaxe"),
+    (A_MAKE_DS, "diamond_sword", [("wood", 1), ("diamond", 1)], True,
+     "make_diamond_sword"),
+    (A_MAKE_BOW, "bow", [("wood", 2)], False, "make_bow"),
+    (A_MAKE_IA, "iron_armor", [("iron", 3), ("coal", 1)], True,
+     "make_iron_armor"),
+    (A_MAKE_DA, "diamond_armor", [("diamond", 2), ("iron", 1)], True,
+     "make_diamond_armor"),
+]
+_CRAFT_ACT = jnp.array([s[0] for s in _CRAFT_SPECS])
+_CRAFT_OUT = jnp.array([INV[s[1]] for s in _CRAFT_SPECS])
+_CRAFT_OUT_ONEHOT = _CRAFT_OUT[:, None] == jnp.arange(NUM_INV)[None, :]
+_CRAFT_COST = jnp.array([_cost_row(s[2]) for s in _CRAFT_SPECS], jnp.int32)
+_CRAFT_FURNACE = jnp.array([s[3] for s in _CRAFT_SPECS])
+_CRAFT_NAMES = [s[4] for s in _CRAFT_SPECS]
+
+# (action, placed block, costs, needs grass, achievement)
+_PLACE_SPECS = [
+    (A_PLACE_STONE, W.STONE, [("stone", 1)], False, "place_stone"),
+    (A_PLACE_TABLE, W.TABLE, [("wood", 2)], False, "place_table"),
+    (A_PLACE_FURNACE, W.FURNACE, [("stone", 2)], False, "place_furnace"),
+    (A_PLACE_PLANT, W.SAPLING, [("sapling", 1)], True, "place_plant"),
+    (A_PLACE_TORCH, W.TORCH, [("wood", 1), ("coal", 1)], False,
+     "place_torch"),
+    (A_PLACE_ENCHANT, W.ENCHANT_TABLE, [("stone", 1), ("diamond", 1)],
+     False, "place_enchant_table"),
+]
+_PLACE_ACT = jnp.array([s[0] for s in _PLACE_SPECS])
+_PLACE_TILE = jnp.array([s[1] for s in _PLACE_SPECS], jnp.int32)
+_PLACE_COST = jnp.array([_cost_row(s[2]) for s in _PLACE_SPECS], jnp.int32)
+_PLACE_GRASS = jnp.array([s[3] for s in _PLACE_SPECS])
+_PLACE_NAMES = [s[4] for s in _PLACE_SPECS]
+_PLACE_PLANT_ROW = 3  # growth logic needs the plant row's ok flag
+
+# (action, enchant mark slot, gem slot, achievement); the gear
+# requirement per row is computed in-step (sword/bow/armor presence)
+_ENCH_SPECS = [
+    (A_ENCH_SWORD, "sword_enchant", "ruby", "enchant_sword"),
+    (A_ENCH_BOW, "bow_enchant", "sapphire", "enchant_bow"),
+    (A_ENCH_ARMOR, "armor_enchant", "crystal", "enchant_armor"),
+]
+_ENCH_ACT = jnp.array([s[0] for s in _ENCH_SPECS])
+_ENCH_MARK = jnp.array([INV[s[1]] for s in _ENCH_SPECS])
+_ENCH_GEM = jnp.array([INV[s[2]] for s in _ENCH_SPECS])
+# +mark, -gem in one add
+_ENCH_DELTA = (
+    (_ENCH_MARK[:, None] == jnp.arange(NUM_INV)[None, :]).astype(jnp.int32)
+    - (_ENCH_GEM[:, None] == jnp.arange(NUM_INV)[None, :]).astype(jnp.int32)
+)
+_ENCH_NAMES = [s[3] for s in _ENCH_SPECS]
+
+# mined-resource collection: cond order is fixed in step_env
+_COLLECT_ITEMS = [
+    "wood", "sapling", "stone", "coal", "iron", "diamond", "ruby",
+    "sapphire", "obsidian", "crystal",
+]
+_COLLECT_ONEHOT = jnp.array(
+    [_cost_row([(i, 1)]) for i in _COLLECT_ITEMS], jnp.int32
+)
+
 # direction vectors: 0 up, 1 right, 2 down, 3 left (dy, dx)
 _DIRS = jnp.array([[-1, 0], [0, 1], [1, 0], [0, -1]])
 
@@ -565,9 +652,6 @@ class Forager(Environment):
 
         do_block = jnp.logical_and(do, jnp.logical_not(any_mob))
 
-        def collect(cond, item, amount=1):
-            return jnp.where(cond, inv.at[INV[item]].add(amount), inv)
-
         has_wp = inv[INV["wood_pickaxe"]] > 0
         has_sp = inv[INV["stone_pickaxe"]] > 0
         has_ip = inv[INV["iron_pickaxe"]] > 0
@@ -625,16 +709,16 @@ class Forager(Environment):
         grant("learn_spell", got_book & ~on_ice_floor)
         grant("learn_ice_spell", got_book & on_ice_floor)
 
-        inv = collect(got_wood, "wood")
-        inv = collect(got_sapling, "sapling")
-        inv = collect(got_stone, "stone")
-        inv = collect(got_coal, "coal")
-        inv = collect(got_iron, "iron")
-        inv = collect(got_diamond, "diamond")
-        inv = collect(got_ruby, "ruby")
-        inv = collect(got_sapphire, "sapphire")
-        inv = collect(got_obsidian, "obsidian")
-        inv = collect(got_crystal, "crystal")
+        # all resource pickups land in ONE masked-sum over the constant
+        # collect table (order matches _COLLECT_ITEMS)
+        collected = jnp.stack(
+            [
+                got_wood, got_sapling, got_stone, got_coal, got_iron,
+                got_diamond, got_ruby, got_sapphire, got_obsidian,
+                got_crystal,
+            ]
+        )
+        inv = inv + (_COLLECT_ONEHOT * collected[:, None]).sum(0)
         drink = jnp.where(got_drink, jnp.minimum(state.drink + 3, 9), state.drink)
         food = jnp.where(ate_plant, jnp.minimum(food + 4, 9), food)
 
@@ -654,64 +738,29 @@ class Forager(Environment):
         ]:
             grant(name, cond)
 
-        # ---- PLACE actions ------------------------------------------
+        # ---- PLACE actions: one pass over the place table -------------
         placeable = _PLACEABLE[tblock] & jnp.logical_not(any_mob)
-
-        def place(act, cost_item, cost_n, name, need_grass=False):
-            nonlocal inv
-            ok = (
-                (action == act)
-                & placeable
-                & (inv[INV[cost_item]] >= cost_n)
-                & (jnp.logical_not(need_grass) | (tblock == W.GRASS))
-            )
-            inv = jnp.where(ok, inv.at[INV[cost_item]].add(-cost_n), inv)
-            grant(name, ok)
-            return ok
-
-        placed_stone = place(A_PLACE_STONE, "stone", 1, "place_stone")
-        placed_table = place(A_PLACE_TABLE, "wood", 2, "place_table")
-        placed_furnace = place(A_PLACE_FURNACE, "stone", 2, "place_furnace")
-        placed_plant = place(
-            A_PLACE_PLANT, "sapling", 1, "place_plant", need_grass=True
-        )
-        # two-cost places: a torch (wood+coal, lights the dungeon dark)
-        # and the enchantment table (stone+diamond, gates enchanting)
-        placed_torch = (
-            (action == A_PLACE_TORCH)
+        place_ok = (
+            (action == _PLACE_ACT)
             & placeable
-            & (inv[INV["wood"]] >= 1)
-            & (inv[INV["coal"]] >= 1)
+            & (~_PLACE_GRASS | (tblock == W.GRASS))
+            & (inv[None, :] >= _PLACE_COST).all(axis=1)
         )
-        inv = jnp.where(
-            placed_torch,
-            inv.at[INV["wood"]].add(-1).at[INV["coal"]].add(-1),
-            inv,
-        )
-        placed_ench = (
-            (action == A_PLACE_ENCHANT)
-            & placeable
-            & (inv[INV["stone"]] >= 1)
-            & (inv[INV["diamond"]] >= 1)
-        )
-        inv = jnp.where(
-            placed_ench,
-            inv.at[INV["stone"]].add(-1).at[INV["diamond"]].add(-1),
-            inv,
-        )
-        grant("place_torch", placed_torch)
-        grant("place_enchant_table", placed_ench)
+        inv = inv - (_PLACE_COST * place_ok[:, None]).sum(0)
+        for _i, _name in enumerate(_PLACE_NAMES):
+            grant(_name, place_ok[_i])
+        placed_plant = place_ok[_PLACE_PLANT_ROW]
+        # at most one place action fires per step, so the placed block id
+        # is a masked sum over the tile column
+        place_any = place_ok.any()
+        place_tile = (place_ok * _PLACE_TILE).sum()
 
         # All per-step tile mutations target the SAME facing cell, so they
         # fold into ONE scatter (vmapped single-cell scatters are the
         # expensive op on TPU) plus one growth-timer scatter.
         tile_new = jnp.where(mined, W.PATH, tblock)
-        tile_new = jnp.where(ate_plant | placed_plant, W.SAPLING, tile_new)
-        tile_new = jnp.where(placed_stone, W.STONE, tile_new)
-        tile_new = jnp.where(placed_table, W.TABLE, tile_new)
-        tile_new = jnp.where(placed_furnace, W.FURNACE, tile_new)
-        tile_new = jnp.where(placed_torch, W.TORCH, tile_new)
-        tile_new = jnp.where(placed_ench, W.ENCHANT_TABLE, tile_new)
+        tile_new = jnp.where(ate_plant, W.SAPLING, tile_new)
+        tile_new = jnp.where(place_any, place_tile.astype(tblock.dtype), tile_new)
         # tile writes target the level the action happened on (pre-ladder).
         # NOTE: keep these as .at[].set scatters — a batched
         # dynamic_update_slice lowers 3x SLOWER here (measured on v5e).
@@ -736,43 +785,23 @@ class Forager(Environment):
         near_table = (around == W.TABLE).any()
         near_furnace = (around == W.FURNACE).any()
 
-        def craft(act, out_item, costs, name, need_furnace=False):
-            nonlocal inv
-            ok = (
-                (action == act)
-                & near_table
-                & (jnp.logical_not(need_furnace) | near_furnace)
-                & (inv[INV[out_item]] == 0)
-            )
-            for item, n in costs:
-                ok = ok & (inv[INV[item]] >= n)
-            for item, n in costs:
-                inv = jnp.where(ok, inv.at[INV[item]].add(-n), inv)
-            inv = jnp.where(ok, inv.at[INV[out_item]].set(1), inv)
-            grant(name, ok)
-
-        craft(A_MAKE_WP, "wood_pickaxe", [("wood", 1)], "make_wood_pickaxe")
-        craft(A_MAKE_SP, "stone_pickaxe", [("wood", 1), ("stone", 1)],
-              "make_stone_pickaxe")
-        craft(A_MAKE_IP, "iron_pickaxe",
-              [("wood", 1), ("coal", 1), ("iron", 1)],
-              "make_iron_pickaxe", need_furnace=True)
-        craft(A_MAKE_WS, "wood_sword", [("wood", 1)], "make_wood_sword")
-        craft(A_MAKE_SS, "stone_sword", [("wood", 1), ("stone", 1)],
-              "make_stone_sword")
-        craft(A_MAKE_IS, "iron_sword",
-              [("wood", 1), ("coal", 1), ("iron", 1)],
-              "make_iron_sword", need_furnace=True)
-        craft(A_MAKE_DP, "diamond_pickaxe", [("wood", 1), ("diamond", 2)],
-              "make_diamond_pickaxe", need_furnace=True)
-        craft(A_MAKE_DS, "diamond_sword", [("wood", 1), ("diamond", 1)],
-              "make_diamond_sword", need_furnace=True)
-        craft(A_MAKE_BOW, "bow", [("wood", 2)], "make_bow")
-        # armor tiers: each flat tier point shaves a point off melee hits
-        craft(A_MAKE_IA, "iron_armor", [("iron", 3), ("coal", 1)],
-              "make_iron_armor", need_furnace=True)
-        craft(A_MAKE_DA, "diamond_armor", [("diamond", 2), ("iron", 1)],
-              "make_diamond_armor", need_furnace=True)
+        # one pass over the recipe table (incl. the armor tiers): recipe
+        # gates, cost subtraction, and output grant are each a single
+        # vectorized op over (N_RECIPES, NUM_INV)
+        craft_ok = (
+            (action == _CRAFT_ACT)
+            & near_table
+            & (~_CRAFT_FURNACE | near_furnace)
+            & (inv[_CRAFT_OUT] == 0)
+            & (inv[None, :] >= _CRAFT_COST).all(axis=1)
+        )
+        inv = (
+            inv
+            - (_CRAFT_COST * craft_ok[:, None]).sum(0)
+            + (_CRAFT_OUT_ONEHOT & craft_ok[:, None]).sum(0)
+        )
+        for _i, _name in enumerate(_CRAFT_NAMES):
+            grant(_name, craft_ok[_i])
 
         # arrows stack (unlike tools): wood+stone -> +ARROWS_PER_CRAFT,
         # capped at MAX_ARROWS
@@ -804,35 +833,23 @@ class Forager(Environment):
             inv[INV["iron_armor"]] + inv[INV["diamond_armor"]]
         ) > 0
 
-        def enchant(act, mark, gem, has_gear, name):
-            nonlocal inv
-            ok = (
-                (action == act)
-                & near_ench
-                & has_gear
-                & (inv[INV[mark]] == 0)
-                & (inv[INV[gem]] >= 1)
-                & (state.mana >= ENCHANT_COST)
-            )
-            inv = jnp.where(
-                ok, inv.at[INV[gem]].add(-1).at[INV[mark]].set(1), inv
-            )
-            grant(name, ok)
-            return ok
-
-        ench_sword = enchant(
-            A_ENCH_SWORD, "sword_enchant", "ruby", has_any_sword,
-            "enchant_sword",
+        # one pass over the enchant table: gate vector, then +mark/-gem
+        # via the precomputed signed delta matrix
+        gear_ok = jnp.stack(
+            [has_any_sword, inv[INV["bow"]] > 0, has_any_armor]
         )
-        ench_bow = enchant(
-            A_ENCH_BOW, "bow_enchant", "sapphire", inv[INV["bow"]] > 0,
-            "enchant_bow",
+        ench_ok = (
+            (action == _ENCH_ACT)
+            & near_ench
+            & gear_ok
+            & (inv[_ENCH_MARK] == 0)
+            & (inv[_ENCH_GEM] >= 1)
+            & (state.mana >= ENCHANT_COST)
         )
-        ench_armor = enchant(
-            A_ENCH_ARMOR, "armor_enchant", "crystal", has_any_armor,
-            "enchant_armor",
-        )
-        enchanted = ench_sword | ench_bow | ench_armor
+        inv = inv + (_ENCH_DELTA * ench_ok[:, None]).sum(0)
+        for _i, _name in enumerate(_ENCH_NAMES):
+            grant(_name, ench_ok[_i])
+        enchanted = ench_ok.any()
 
         # ---- SHOOT / CAST: projectiles down the facing ray -----------
         # Arrows (bow + arrow in inventory) and fireballs (spellbook +
