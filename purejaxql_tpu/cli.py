@@ -96,6 +96,20 @@ def single_run(config):
             if isinstance(model_state, dict)
             else model_state.params
         )
+        if isinstance(model_state, dict):
+            # AC family: persist the obs-normalization running stats with
+            # the checkpoint so inference can replay frozen normalization
+            # (the reference render path's InferenceModelState norm_stats,
+            # mujoco_playground_render.py:39-53). The outermost env-state
+            # wrapper is NormalizeVecObservation when NORMALIZE_OBS.
+            env_state = outs["runner_state"][1]
+            if config.get("NORMALIZE_OBS", False) and hasattr(
+                env_state, "mean"
+            ):
+                params["norm_stats"] = {
+                    "mean": env_state.mean,
+                    "var": env_state.var,
+                }
         save_run(params, config, save_dir, run_name)
         print(f"Saved params to {save_dir}/")
     return outs

@@ -95,6 +95,87 @@ def greedy_rollout(config, params, batch_stats, num_episodes, seed, max_steps):
     return np.asarray(rets), np.asarray(lens), jax.tree_util.tree_map(np.asarray, trajs)
 
 
+def greedy_rollout_ac(config, params, num_episodes, seed, max_steps):
+    """Inference for actor-critic checkpoints: deterministic tanh-actor
+    rollout with frozen obs-normalization replay — the reference render
+    path's InferenceModelState semantics
+    (mujoco_playground_render.py:39-53, 110-123)."""
+    from purejaxql_tpu.models.actor_critic import Actor
+
+    env, env_params = make_env(
+        config["ENV_NAME"], **(config.get("ENV_KWARGS") or {})
+    )
+    env = wrappers.Log(env)
+    aspace = env.action_space(env_params)
+    low = jnp.asarray(aspace.low, jnp.float32)
+    high = jnp.asarray(aspace.high, jnp.float32)
+    action_dim = aspace.shape[0]
+    obs_shape = env.observation_space(env_params).shape
+
+    actor = Actor(
+        action_dim,
+        action_scale=jnp.asarray((high - low) / 2.0).reshape(-1)[0],
+        action_bias=jnp.asarray((high + low) / 2.0).reshape(-1)[0],
+        hidden_sizes=tuple(config["ACTOR_HIDDEN_SIZES"]),
+        activation=config.get("ACTIVATION", "relu"),
+        norm_type=config["NORM_TYPE"],
+        init_scale=config.get("ACTOR_INIT_SCALE", 1.0),
+    )
+    init_vars = actor.init(jax.random.PRNGKey(0), jnp.zeros((1, *obs_shape)))
+    variables = {
+        "params": params["actor"],
+        "batch_stats": init_vars["batch_stats"],
+    }
+    norm = params.get("norm_stats")
+    if norm is not None:
+        n_mean = jnp.asarray(norm["mean"])
+        n_var = jnp.asarray(norm["var"])
+
+    def normalize(obs):
+        if norm is None:
+            return obs
+        return (obs - n_mean) / jnp.sqrt(n_var + 1e-8)
+
+    def episode(rng):
+        obs, state = env.reset(rng, env_params)
+
+        def step(carry, _):
+            obs, state, rng, done_seen, ep_ret, ep_len = carry
+            rng, k = jax.random.split(rng)
+            action = actor.apply(
+                variables, normalize(obs)[None], train=False
+            )[0]
+            action = jnp.clip(action, low, high)
+            next_obs, next_state, reward, done, info = env.step(
+                k, state, action, env_params
+            )
+            first_done = jnp.logical_and(done, jnp.logical_not(done_seen))
+            ep_ret = jnp.where(
+                first_done, info["returned_episode_returns"], ep_ret
+            )
+            ep_len = jnp.where(
+                first_done, info["returned_episode_lengths"], ep_len
+            )
+            done_seen = jnp.logical_or(done_seen, done)
+            return (next_obs, next_state, rng, done_seen, ep_ret, ep_len), (
+                obs,
+                action,
+                reward,
+            )
+
+        (_, _, _, _, ep_ret, ep_len), traj = jax.lax.scan(
+            step,
+            (obs, state, rng, jnp.asarray(False), 0.0, jnp.asarray(0, jnp.int32)),
+            None,
+            max_steps,
+        )
+        return ep_ret, ep_len, traj
+
+    rngs = jax.random.split(jax.random.PRNGKey(seed), num_episodes)
+    rets, lens, trajs = jax.vmap(episode)(rngs)
+    return np.asarray(rets), np.asarray(lens), jax.tree_util.tree_map(np.asarray, trajs)
+
+
 def ascii_render_minatar(obs_frame: np.ndarray) -> str:
     """Render a (10, 10, C) MinAtar frame as one character per cell."""
     symbols = "#@*o+x$%"
@@ -126,9 +207,34 @@ def main(argv=None):
     config_path, params_path = find_run_files(args.run_dir)
     config = load_yaml(config_path)
     params = load_params(params_path)
+    env, env_params = make_env(config["ENV_NAME"], **(config.get("ENV_KWARGS") or {}))
+
+    if isinstance(params, dict) and "actor" in params:
+        # actor-critic checkpoint (continuous control): deterministic
+        # actor + frozen obs-norm replay
+        max_steps = args.max_steps or getattr(
+            env_params, "max_steps_in_episode", 1000
+        )
+        rets, lens, trajs = greedy_rollout_ac(
+            config, params, args.episodes, args.seed, max_steps
+        )
+        print(f"episodes: {args.episodes}")
+        print(
+            f"returns:  mean {rets.mean():.2f}  min {rets.min():.2f}  "
+            f"max {rets.max():.2f}"
+        )
+        print(f"lengths:  mean {lens.mean():.1f}")
+        if args.save_traj:
+            np.savez_compressed(
+                args.save_traj,
+                obs=trajs[0], actions=trajs[1], rewards=trajs[2],
+                returns=rets, lengths=lens,
+            )
+            print(f"trajectory saved to {args.save_traj}")
+        return 0
+
     # inference-grade checkpoints carry params only; batch_stats are
     # reconstructed at init scale (exact for layer_norm configs)
-    env, env_params = make_env(config["ENV_NAME"], **(config.get("ENV_KWARGS") or {}))
     obs_shape = env.observation_space(env_params).shape
     if len(obs_shape) > 1 and config.get("ARCH", "mlp" if len(obs_shape) == 1 else "cnn") == "mlp":
         obs_shape = (int(np.prod(obs_shape)),)

@@ -13,7 +13,11 @@ shift || true
 EXTRA=("$@")
 
 cd "$(dirname "$0")/.."
-export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$PWD/.jax_cache}"
+# default the compile cache only when UNSET ("-" not ":-"): an explicitly
+# EMPTY value opts out — XLA:CPU AOT cache entries don't reliably survive
+# the read-back on some hosts, so CPU smoke runs pass JAX_COMPILATION_CACHE_DIR=
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR-$PWD/.jax_cache}"
+[ -z "$JAX_COMPILATION_CACHE_DIR" ] && unset JAX_COMPILATION_CACHE_DIR
 
 if [ "$MODE" = "quick" ]; then
   COMMON=(TOTAL_TIMESTEPS=65536 TOTAL_TIMESTEPS_DECAY=65536 TEST_DURING_TRAINING=False)
