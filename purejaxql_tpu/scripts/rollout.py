@@ -273,6 +273,18 @@ def main(argv=None):
 
     if args.gif:
         obs = trajs[0][0]  # first episode, (T, ...) obs
+        if obs.ndim == 2 and config["ENV_NAME"] in (
+            "Forager-v0", "Craftax-Symbolic-v1"
+        ):
+            # Forager obs are flat symbolic vectors whose leading
+            # VIEW*VIEW*(blocks+mobs) entries are the one-hot local view —
+            # reshape that back into (T, VIEW, VIEW, C) frames
+            from purejaxql_tpu.envs.gridworld import forager as _F
+            from purejaxql_tpu.envs.gridworld import worldgen as _W
+
+            c = _W.NUM_BLOCK_TYPES + _F.NUM_MOB_TYPES
+            grid = obs[:, : _F.VIEW * _F.VIEW * c]
+            obs = grid.reshape(obs.shape[0], _F.VIEW, _F.VIEW, c)
         if obs.ndim != 4:
             raise SystemExit(
                 "--gif needs (T, H, W, C) grid observations; "
