@@ -132,6 +132,15 @@ WORKLOADS = {
         total=int(5e5),
         no_vmap=True,
     ),
+    # seed-parallel aggregate throughput (the reference's headline story:
+    # "thousands of seeds in minutes") — 64 independent full training runs
+    # vmapped into one program; detail row, reports AGGREGATE steps/s
+    "cartpole_seeds64": dict(
+        alg="pqn_cartpole",
+        overrides=["COLLECT_METRICS=False"],
+        total=int(5e5) * 64,
+        n_seeds=64,
+    ),
 }
 
 # headline per workload group = first row in the list that succeeds
@@ -176,7 +185,7 @@ def run_workload(name: str) -> float:
         fn = jax.jit(make_train(config))
         force = lambda o: np.asarray(o["runner_state"][0].timesteps)
     else:
-        rngs = jax.random.split(jax.random.PRNGKey(0), 1)
+        rngs = jax.random.split(jax.random.PRNGKey(0), spec.get("n_seeds", 1))
         fn = jax.jit(jax.vmap(make_train(config)))
         force = lambda o: np.asarray(o["runner_state"][0].timesteps)
 
@@ -203,9 +212,12 @@ def main():
         group = name.split("_")[0]
         details[name] = {
             "env_steps_per_s": round(sps),
+            # aggregate (multi-seed) rows don't ratio against the
+            # single-run A40 wall-time numbers
             "vs_a40_baseline": (
                 round(sps / A40_BASELINES[group], 2)
                 if group in A40_BASELINES
+                and WORKLOADS[name].get("n_seeds", 1) == 1
                 else None
             ),
         }
