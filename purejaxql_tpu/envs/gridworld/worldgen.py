@@ -58,26 +58,44 @@ PAD = 4
 PADDED_SIZE = WORLD_SIZE + 2 * PAD
 
 
-def _value_noise(key: jax.Array, size: int, res: int) -> jax.Array:
-    """Bilinearly upsampled gaussian grid noise in roughly [-1, 1]."""
-    coarse = jax.random.normal(key, (res + 1, res + 1))
+
+def _kth_largest(x: jax.Array, k: int) -> jax.Array:
+    """Threshold selecting a fixed COUNT of top cells: the kth-largest
+    value. lax.top_k with small static k lowers far cheaper than the full
+    bitonic sort a jnp.quantile/jnp.sort implies — and the optimistic
+    reset pool runs worldgen num_envs/reset_ratio times per STEP, so this
+    is hot-path code, not init code."""
+    return jax.lax.top_k(x.ravel(), k)[0][-1]
+
+def _value_noise(key: jax.Array, size: int, res: int, n: int = 0) -> jax.Array:
+    """Bilinearly upsampled gaussian grid noise in roughly [-1, 1].
+
+    With n > 0, generates a BATCH of n independent fields from one key in
+    one pass — the four dungeon floors share a single PRNG kernel and one
+    interpolation chain instead of four of each (worldgen is hot-path
+    code: the optimistic reset pool runs it num_envs/reset_ratio times
+    per step)."""
+    batched = n > 0
+    shape = (max(n, 1), res + 1, res + 1)
+    coarse = jax.random.normal(key, shape)
     xs = jnp.linspace(0.0, res, size)
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
     frac = xs - x0
-    # interpolate rows then columns
-    top = coarse[x0][:, x0]
-    bottom = coarse[x0 + 1][:, x0]
-    right_top = coarse[x0][:, x0 + 1]
-    right_bottom = coarse[x0 + 1][:, x0 + 1]
-    fy = frac[:, None]
-    fx = frac[None, :]
+    # interpolate rows then columns (leading batch axis broadcasts)
+    top = coarse[:, x0][:, :, x0]
+    bottom = coarse[:, x0 + 1][:, :, x0]
+    right_top = coarse[:, x0][:, :, x0 + 1]
+    right_bottom = coarse[:, x0 + 1][:, :, x0 + 1]
+    fy = frac[None, :, None]
+    fx = frac[None, None, :]
     v = (
         top * (1 - fy) * (1 - fx)
         + bottom * fy * (1 - fx)
         + right_top * (1 - fy) * fx
         + right_bottom * fy * fx
     )
-    return v * 0.8
+    v = v * 0.8
+    return v if batched else v[0]
 
 
 def generate_world(key: jax.Array) -> jax.Array:
@@ -97,9 +115,8 @@ def generate_world(key: jax.Array) -> jax.Array:
     descent). int8 storage quarters HBM traffic for the scatter-heavy
     step function."""
     (
-        key, k_cave, k_deep, k_hell, k_ice,
-        k_ladder, k_ladder2, k_ladder3, k_ladder4,
-    ) = jax.random.split(key, 9)
+        key, k_cave, k_ladder, k_ladder2, k_ladder3, k_ladder4
+    ) = jax.random.split(key, 6)
     k_elev, k_detail, k_feat = jax.random.split(key, 3)
 
     elev = _value_noise(k_elev, WORLD_SIZE, 6) + 0.5 * _value_noise(
@@ -135,16 +152,29 @@ def generate_world(key: jax.Array) -> jax.Array:
         blocks, jnp.full((3, 3), GRASS, jnp.int8), (c - 1, c - 1)
     )
 
+    # ---- dungeon floors: shared batched noise/feature fields -------------
+    # one (4, H, W) noise pass + one (4, H, W) uniform pass feed all four
+    # floors; per-floor thresholds batch into a single top_k
+    k_dnoise4, k_dfeat4 = jax.random.split(k_cave)
+    noise4 = _value_noise(k_dnoise4, WORLD_SIZE, 8, n=4)
+    feat4 = jax.random.uniform(k_dfeat4, (4, WORLD_SIZE, WORLD_SIZE))
+    cnoise, dnoise, hnoise, inoise = noise4
+    cfeat, dfeat, hfeat, ifeat = feat4
+    # lava/melt coverage per floor: cave 5%, deep 8%, hell 20%, ice 6%
+    # (separate top_k per floor: top_k cost scales with k, so batching all
+    # rows to hell's k=461 costs more than four small selections)
+    cthresh = _kth_largest(cnoise, 115)
+    dthresh = _kth_largest(dnoise, 184)
+    hthresh_lava = _kth_largest(hnoise, 461)
+    ithresh_melt = _kth_largest(inoise, 138)
+
     # ---- cave level -----------------------------------------------------
-    k_cnoise, k_cfeat = jax.random.split(k_cave)
-    cnoise = _value_noise(k_cnoise, WORLD_SIZE, 8)
     cave = jnp.full((WORLD_SIZE, WORLD_SIZE), STONE, jnp.int8)
     open_cell = cnoise > -0.15  # ~60% passages
     cave = jnp.where(open_cell, PATH, cave)
-    # ~5% lava hazards (quantile: keeps the cave<deep<hell lava ordering
-    # deterministic across seeds — see the DEEP comment)
-    cave = jnp.where(cnoise > jnp.quantile(cnoise, 0.95), LAVA, cave)
-    cfeat = jax.random.uniform(k_cfeat, (WORLD_SIZE, WORLD_SIZE))
+    # ~5% lava hazards (fixed top-k count: keeps the cave<deep<hell lava
+    # ordering deterministic across seeds — see the DEEP comment)
+    cave = jnp.where(cnoise > cthresh, LAVA, cave)
     wall = cave == STONE
     cave = jnp.where(wall & (cfeat < 0.15), COAL, cave)
     cave = jnp.where(wall & (cfeat >= 0.15) & (cfeat < 0.27), IRON, cave)
@@ -153,16 +183,13 @@ def generate_world(key: jax.Array) -> jax.Array:
     # ---- deep level -----------------------------------------------------
     # tighter corridors, more lava, no coal — but the richest diamond
     # veins and the only ruby deposits
-    k_dnoise, k_dfeat = jax.random.split(k_deep)
-    dnoise = _value_noise(k_dnoise, WORLD_SIZE, 8)
     deep = jnp.full((WORLD_SIZE, WORLD_SIZE), STONE, jnp.int8)
     open_deep = dnoise > 0.05  # ~45% passages
     deep = jnp.where(open_deep, PATH, deep)
-    # lava covers a fixed ~8% of the floor (quantile, not an absolute
+    # lava covers a fixed ~8% of the floor (fixed count, not an absolute
     # threshold: noise amplitude varies enough seed-to-seed that absolute
     # cuts swing the lava count 3x, breaking the cave<deep<hell ordering)
-    deep = jnp.where(dnoise > jnp.quantile(dnoise, 0.92), LAVA, deep)
-    dfeat = jax.random.uniform(k_dfeat, (WORLD_SIZE, WORLD_SIZE))
+    deep = jnp.where(dnoise > dthresh, LAVA, deep)
     dwall = deep == STONE
     deep = jnp.where(dwall & (dfeat < 0.18), IRON, deep)
     deep = jnp.where(dwall & (dfeat >= 0.18) & (dfeat < 0.30), DIAMOND, deep)
@@ -172,26 +199,21 @@ def generate_world(key: jax.Array) -> jax.Array:
     # ---- hell level -----------------------------------------------------
     # the bottom of the dungeon: obsidian walls (diamond-pickaxe-tier),
     # lava seas across the open ground, and the densest chest loot
-    k_hnoise, k_hfeat = jax.random.split(k_hell)
-    hnoise = _value_noise(k_hnoise, WORLD_SIZE, 8)
     hell = jnp.full((WORLD_SIZE, WORLD_SIZE), OBSIDIAN, jnp.int8)
     open_hell = hnoise > 0.1  # ~40% passages
     hell = jnp.where(open_hell, PATH, hell)
     # lava seas: a fixed ~20% of the floor (always denser than DEEP's 8%)
-    hell = jnp.where(hnoise > jnp.quantile(hnoise, 0.80), LAVA, hell)
+    hell = jnp.where(hnoise > hthresh_lava, LAVA, hell)
 
     # ---- ice realm ------------------------------------------------------
     # the frozen bottom floor: walkable ICE ground, drinkable melt pools,
     # CRYSTAL ore seamed through the stone walls (the enchanting reagent
     # spawns nowhere else), no lava
-    k_inoise, k_ifeat = jax.random.split(k_ice)
-    inoise = _value_noise(k_inoise, WORLD_SIZE, 8)
     ice = jnp.full((WORLD_SIZE, WORLD_SIZE), STONE, jnp.int8)
     open_ice = inoise > -0.05  # ~50% frozen ground
     ice = jnp.where(open_ice, ICE, ice)
     # melt pools: a fixed ~6% of the floor is drinkable water
-    ice = jnp.where(inoise > jnp.quantile(inoise, 0.94), WATER, ice)
-    ifeat = jax.random.uniform(k_ifeat, (WORLD_SIZE, WORLD_SIZE))
+    ice = jnp.where(inoise > ithresh_melt, WATER, ice)
     iwall = ice == STONE
     ice = jnp.where(iwall & (ifeat < 0.20), CRYSTAL, ice)
 
@@ -202,13 +224,12 @@ def generate_world(key: jax.Array) -> jax.Array:
     # hell: exactly the top-12 path cells by score become chests (seeds
     # where lava+obsidian squeeze the walkable area would otherwise drop
     # below the guaranteed loot floor)
-    hfeat = jax.random.uniform(k_hfeat, (WORLD_SIZE, WORLD_SIZE))
     hscore = jnp.where(hell == PATH, hfeat, -1.0)
-    hthresh = jnp.sort(hscore.ravel())[-12]
+    hthresh = _kth_largest(hscore, 12)
     hell = jnp.where((hscore >= hthresh) & (hscore > 0), CHEST, hell)
     # ice realm: top-10 frozen cells hold the frost-tome loot pool
     iscore = jnp.where(ice == ICE, ifeat, -1.0)
-    ithresh = jnp.sort(iscore.ravel())[-10]
+    ithresh = _kth_largest(iscore, 10)
     ice = jnp.where((iscore >= ithresh) & (iscore > 0), CHEST, ice)
 
     # ---- aligned ladder pairs ------------------------------------------
@@ -238,40 +259,27 @@ def generate_world(key: jax.Array) -> jax.Array:
     lpos4 = _seam_pair(k_ladder4, 6 + 3 * band, WORLD_SIZE - 8)
     yy = jnp.arange(WORLD_SIZE)
 
-    def _pocket(ly, lx):
-        # masked 3x3 pocket carve: a traced-index dynamic_update_slice
-        # serializes under vmap on TPU (the reset pool runs this
-        # num_envs/reset_ratio times per step)
-        return (jnp.abs(yy[:, None] - ly) <= 1) & (
-            jnp.abs(yy[None, :] - lx) <= 1
-        )
+    def _carve(floor, pos, fill, ladder):
+        # masked 3x3 pocket carve for BOTH of a seam's ladder cells in one
+        # where + one two-cell scatter (a traced-index dynamic_update_slice
+        # serializes under vmap on TPU, and per-cell loops doubled the op
+        # count — the reset pool runs this num_envs/reset_ratio times per
+        # step)
+        mask = (
+            (jnp.abs(yy[:, None, None] - pos[None, None, :, 0]) <= 1)
+            & (jnp.abs(yy[None, :, None] - pos[None, None, :, 1]) <= 1)
+        ).any(-1)
+        floor = jnp.where(mask, jnp.int8(fill), floor)
+        return floor.at[pos[:, 0], pos[:, 1]].set(ladder)
 
-    for i in range(2):
-        ly, lx = lpos[i, 0], lpos[i, 1]
-        blocks = blocks.at[ly, lx].set(LADDER_DOWN)
-        cave = jnp.where(_pocket(ly, lx), jnp.int8(PATH), cave)
-        cave = cave.at[ly, lx].set(LADDER_UP)
-
-    for i in range(2):
-        ly, lx = lpos2[i, 0], lpos2[i, 1]
-        cave = jnp.where(_pocket(ly, lx), jnp.int8(PATH), cave)
-        cave = cave.at[ly, lx].set(LADDER_DOWN)
-        deep = jnp.where(_pocket(ly, lx), jnp.int8(PATH), deep)
-        deep = deep.at[ly, lx].set(LADDER_UP)
-
-    for i in range(2):
-        ly, lx = lpos3[i, 0], lpos3[i, 1]
-        deep = jnp.where(_pocket(ly, lx), jnp.int8(PATH), deep)
-        deep = deep.at[ly, lx].set(LADDER_DOWN)
-        hell = jnp.where(_pocket(ly, lx), jnp.int8(PATH), hell)
-        hell = hell.at[ly, lx].set(LADDER_UP)
-
-    for i in range(2):
-        ly, lx = lpos4[i, 0], lpos4[i, 1]
-        hell = jnp.where(_pocket(ly, lx), jnp.int8(PATH), hell)
-        hell = hell.at[ly, lx].set(LADDER_DOWN)
-        ice = jnp.where(_pocket(ly, lx), jnp.int8(ICE), ice)
-        ice = ice.at[ly, lx].set(LADDER_UP)
+    blocks = blocks.at[lpos[:, 0], lpos[:, 1]].set(LADDER_DOWN)
+    cave = _carve(cave, lpos, PATH, LADDER_UP)
+    cave = _carve(cave, lpos2, PATH, LADDER_DOWN)
+    deep = _carve(deep, lpos2, PATH, LADDER_UP)
+    deep = _carve(deep, lpos3, PATH, LADDER_DOWN)
+    hell = _carve(hell, lpos3, PATH, LADDER_UP)
+    hell = _carve(hell, lpos4, PATH, LADDER_DOWN)
+    ice = _carve(ice, lpos4, ICE, LADDER_UP)
 
     world = jnp.stack([blocks, cave, deep, hell, ice]).astype(jnp.int8)
     return jnp.pad(
