@@ -106,6 +106,54 @@ def _vec_step(env, env_params, n_envs, mode):
     )
 
 
+def fused_game_rollout(env_name, seed, eps, params, env_state, T, **kw):
+    """Run a whole T-step rollout — env dynamics + net forward +
+    eps-greedy + auto-reset — as ONE Pallas kernel (ops/pallas_rollout.py)
+    and return the (obs, action, reward, done, q) streams, the final obs,
+    and the raw final env state. Shared by the training rollout and the
+    fused in-graph eval. `kw` forwards to the per-game kernel wrapper
+    (use_prng/interpret, for the CPU interpret-mode tests)."""
+    from purejaxql_tpu.ops import pallas_rollout as pr
+
+    if env_name == "CartPole-v1":
+        stf0, sti0 = pr.state_matrix_from_cartpole(env_state)
+        (obs_seq, act, rew, done_i, q_seq, final_obs, a1, a2) = (
+            pr.cartpole_rollout_pallas(seed, eps, params, stf0, sti0, T, **kw)
+        )
+        new_env_state = pr.cartpole_from_state_matrix(a1, a2)
+    elif env_name == "Asterix-MinAtar":
+        st0 = pr.state_matrix_from_asterix(env_state)
+        (obs_seq, act, rew, done_i, q_seq, final_obs, a1) = (
+            pr.asterix_rollout_pallas(seed, eps, params, st0, T, **kw)
+        )
+        new_env_state = pr.asterix_from_state_matrix(a1)
+    elif env_name == "Freeway-MinAtar":
+        st0 = pr.state_matrix_from_freeway(env_state)
+        (obs_seq, act, rew, done_i, q_seq, final_obs, a1) = (
+            pr.freeway_rollout_pallas(seed, eps, params, st0, T, **kw)
+        )
+        new_env_state = pr.freeway_from_state_matrix(a1)
+    elif env_name == "Seaquest-MinAtar":
+        st0 = pr.state_matrix_from_seaquest(env_state)
+        (obs_seq, act, rew, done_i, q_seq, final_obs, a1) = (
+            pr.seaquest_rollout_pallas(seed, eps, params, st0, T, **kw)
+        )
+        new_env_state = pr.seaquest_from_state_matrix(a1)
+    elif env_name == "SpaceInvaders-MinAtar":
+        packed = pr.state_matrix_from_space_invaders(env_state)
+        (obs_seq, act, rew, done_i, q_seq, final_obs, a1, a2, a3, a4) = (
+            pr.space_invaders_rollout_pallas(seed, eps, params, *packed, T, **kw)
+        )
+        new_env_state = pr.space_invaders_from_state_matrix(a1, a2, a3, a4)
+    else:
+        st0, brick0 = pr.state_matrix_from_breakout(env_state)
+        (obs_seq, act, rew, done_i, q_seq, final_obs, a1, a2) = (
+            pr.breakout_rollout_pallas(seed, eps, params, st0, brick0, T, **kw)
+        )
+        new_env_state = pr.breakout_from_state_matrix(a1, a2)
+    return obs_seq, act, rew, done_i, q_seq, final_obs, new_env_state
+
+
 def make_train(
     config: Dict[str, Any],
     logger: Optional[MetricLogger] = None,
@@ -252,8 +300,6 @@ def make_train(
                 # eps-greedy in VMEM, hardware PRNG); Log-wrapper stats are
                 # replayed from the (reward, done) streams afterwards —
                 # see ops/pallas_rollout.py for the parity trade
-                from purejaxql_tpu.ops import pallas_rollout as pr
-
                 rng, _rng = jax.random.split(rng)
                 seed = jax.random.randint(
                     _rng, (), 0, jnp.iinfo(jnp.int32).max
@@ -261,63 +307,12 @@ def make_train(
                 eps = eps_scheduler(train_state.n_updates)
                 last_obs, log_state = expl_state
                 T = config["NUM_STEPS"]
-                if config["ENV_NAME"] == "CartPole-v1":
-                    stf0, sti0 = pr.state_matrix_from_cartpole(
-                        log_state.env_state
+                (obs_seq, act, rew, done_i, q_seq, final_obs, new_env_state) = (
+                    fused_game_rollout(
+                        config["ENV_NAME"], seed, eps, train_state.params,
+                        log_state.env_state, T,
                     )
-                    (obs_seq, act, rew, done_i, q_seq, final_obs, a1, a2) = (
-                        pr.cartpole_rollout_pallas(
-                            seed, eps, train_state.params, stf0, sti0, T
-                        )
-                    )
-                    new_env_state = pr.cartpole_from_state_matrix(a1, a2)
-                elif config["ENV_NAME"] == "Asterix-MinAtar":
-                    st0 = pr.state_matrix_from_asterix(log_state.env_state)
-                    (obs_seq, act, rew, done_i, q_seq, final_obs, a1) = (
-                        pr.asterix_rollout_pallas(
-                            seed, eps, train_state.params, st0, T
-                        )
-                    )
-                    new_env_state = pr.asterix_from_state_matrix(a1)
-                elif config["ENV_NAME"] == "Freeway-MinAtar":
-                    st0 = pr.state_matrix_from_freeway(log_state.env_state)
-                    (obs_seq, act, rew, done_i, q_seq, final_obs, a1) = (
-                        pr.freeway_rollout_pallas(
-                            seed, eps, train_state.params, st0, T
-                        )
-                    )
-                    new_env_state = pr.freeway_from_state_matrix(a1)
-                elif config["ENV_NAME"] == "Seaquest-MinAtar":
-                    st0 = pr.state_matrix_from_seaquest(log_state.env_state)
-                    (obs_seq, act, rew, done_i, q_seq, final_obs, a1) = (
-                        pr.seaquest_rollout_pallas(
-                            seed, eps, train_state.params, st0, T
-                        )
-                    )
-                    new_env_state = pr.seaquest_from_state_matrix(a1)
-                elif config["ENV_NAME"] == "SpaceInvaders-MinAtar":
-                    packed = pr.state_matrix_from_space_invaders(
-                        log_state.env_state
-                    )
-                    (
-                        obs_seq, act, rew, done_i, q_seq, final_obs,
-                        a1, a2, a3, a4,
-                    ) = pr.space_invaders_rollout_pallas(
-                        seed, eps, train_state.params, *packed, T
-                    )
-                    new_env_state = pr.space_invaders_from_state_matrix(
-                        a1, a2, a3, a4
-                    )
-                else:
-                    st0, brick0 = pr.state_matrix_from_breakout(
-                        log_state.env_state
-                    )
-                    (obs_seq, act, rew, done_i, q_seq, final_obs, a1, a2) = (
-                        pr.breakout_rollout_pallas(
-                            seed, eps, train_state.params, st0, brick0, T
-                        )
-                    )
-                    new_env_state = pr.breakout_from_state_matrix(a1, a2)
+                )
                 next_obs = jnp.concatenate([obs_seq[1:], final_obs[None]], 0)
                 done = done_i.astype(bool)
                 transitions = Transition(
@@ -545,6 +540,56 @@ def make_train(
         def get_test_metrics(train_state, rng):
             if not config.get("TEST_DURING_TRAINING", False):
                 return None
+
+            if use_fused_rollout:
+                # fused in-graph eval: the greedy (EPS_TEST) rollout runs
+                # through the SAME Pallas kernels as training, scanned in
+                # NUM_STEPS-sized chunks so the kernel instance is shared
+                # shape-wise; episode stats replay from the (reward, done)
+                # streams like the training Log replay above
+                chunk = config["NUM_STEPS"]
+                n_chunks = -(-config["TEST_NUM_STEPS"] // chunk)
+                rng, _rng = jax.random.split(rng)
+                _, test_log_state = test_reset(_rng)
+                rng, _rng = jax.random.split(rng)
+                seed0 = jax.random.randint(
+                    _rng, (), 0, jnp.iinfo(jnp.int32).max - n_chunks * chunk
+                )
+
+                def _chunk(raw_state, i):
+                    (_, _, rew, done_i, _, _, new_raw) = fused_game_rollout(
+                        config["ENV_NAME"], seed0 + i * chunk,
+                        jnp.float32(config["EPS_TEST"]),
+                        train_state.params, raw_state, chunk,
+                    )
+                    return new_raw, (rew, done_i.astype(jnp.float32))
+
+                _, (rews, dones) = jax.lax.scan(
+                    _chunk,
+                    test_log_state.env_state,
+                    jnp.arange(n_chunks),
+                )
+                rews = rews.reshape(-1, rews.shape[-1])
+                dones = dones.reshape(-1, dones.shape[-1])
+
+                def _ep(carry, rd):
+                    ep_r, ep_l = carry
+                    r, dn = rd
+                    ner, nel = ep_r + r, ep_l + 1
+                    info = {
+                        "returned_episode_returns": ner,
+                        "returned_episode_lengths": nel.astype(jnp.float32),
+                        "returned_episode": dn.astype(bool),
+                    }
+                    keep = 1.0 - dn
+                    return (ner * keep, nel * keep), info
+
+                zero = jnp.zeros(rews.shape[-1], jnp.float32)
+                _, infos = jax.lax.scan(_ep, (zero, zero), (rews, dones))
+                infos = jax.tree_util.tree_map(
+                    lambda x: x[: config["TEST_NUM_STEPS"]], infos
+                )
+                return episode_mean_metrics(infos, pmap_axis)
 
             def _env_step(carry, _):
                 env_state, last_obs, rng = carry

@@ -493,3 +493,89 @@ def test_fused_seaquest_interpret_exactness():
         assert np.array_equal(
             np.asarray(getattr(q2, f)), np.asarray(getattr(final_st, f))
         ), f
+
+
+def test_fused_eval_episode_accounting(monkeypatch):
+    """The fused in-graph eval (pqn.get_test_metrics with FUSED_ROLLOUT)
+    chunks the greedy rollout through the kernel and replays episode stats
+    from the (reward, done) streams. Stub the kernel with a synthetic
+    stream — reward 1 every step, done at local step 5 of every chunk —
+    and pin the resulting means exactly."""
+    from purejaxql_tpu.algo import pqn as pqn_mod
+    from purejaxql_tpu.core.config import compose
+
+    CHUNK, B = 8, 4
+
+    def fake_rollout(env_name, seed, eps, params, env_state, T, **kw):
+        assert T == CHUNK
+        rew = jnp.ones((T, B), jnp.float32)
+        done = (
+            (jnp.arange(T) == 5).astype(jnp.int32)[:, None]
+            * jnp.ones((1, B), jnp.int32)
+        )
+        zero_obs = jnp.zeros((T, B, 10, 10, 4), jnp.float32)
+        q = jnp.zeros((T, B, 8), jnp.float32)
+        fobs = jnp.zeros((B, 10, 10, 4), jnp.float32)
+        act = jnp.zeros((T, B), jnp.int32)
+        return zero_obs, act, rew, done, q, fobs, env_state
+
+    monkeypatch.setattr(pqn_mod, "fused_game_rollout", fake_rollout)
+    config = compose(
+        alg="pqn_minatar",
+        overrides=[
+            "ENV_NAME=Breakout-MinAtar",
+            "TOTAL_TIMESTEPS=512", "TOTAL_TIMESTEPS_DECAY=512",
+            f"NUM_ENVS={B}", f"NUM_STEPS={CHUNK}",
+            "NUM_MINIBATCHES=1", "NUM_EPOCHS=1",
+            "TEST_DURING_TRAINING=True", f"TEST_NUM_ENVS={B}",
+            "TEST_NUM_STEPS=24", "TEST_INTERVAL=0.01",
+            "FUSED_ROLLOUT=True", "COLLECT_METRICS=True",
+        ],
+    )
+    outs = jax.block_until_ready(
+        jax.jit(pqn_mod.make_train(config))(jax.random.PRNGKey(0))
+    )
+    rets = np.asarray(outs["metrics"]["test/returned_episode_returns"])
+    lens = np.asarray(outs["metrics"]["test/returned_episode_lengths"])
+    # chunked stream: done at global steps 5, 13, 21 -> episode lengths
+    # 6, 8, 8 (first episode starts at reset). Mean return == mean length
+    # == (6 + 8 + 8) / 3.
+    expected = (6 + 8 + 8) / 3
+    assert np.allclose(rets[-1], expected), rets
+    assert np.allclose(lens[-1], expected), lens
+
+
+def test_fused_eval_interpret_end_to_end():
+    """Interpret-mode smoke of the fused eval on real Breakout: the whole
+    make_train compiles and the eval produces the episode-metric keys."""
+    from functools import partial
+
+    from purejaxql_tpu.algo import pqn as pqn_mod
+    from purejaxql_tpu.core.config import compose
+
+    real = pqn_mod.fused_game_rollout
+    pqn_mod.fused_game_rollout = partial(real, use_prng=False, interpret=True)
+    try:
+        config = compose(
+            alg="pqn_minatar",
+            overrides=[
+                "ENV_NAME=Breakout-MinAtar",
+                "TOTAL_TIMESTEPS=256", "TOTAL_TIMESTEPS_DECAY=256",
+                "NUM_ENVS=8", "NUM_STEPS=8",
+                "NUM_MINIBATCHES=1", "NUM_EPOCHS=1",
+                "TEST_DURING_TRAINING=True", "TEST_NUM_ENVS=8",
+                "TEST_NUM_STEPS=16", "TEST_INTERVAL=0.01",
+                "FUSED_ROLLOUT=True", "COLLECT_METRICS=True",
+            ],
+        )
+        outs = jax.block_until_ready(
+            jax.jit(pqn_mod.make_train(config))(jax.random.PRNGKey(0))
+        )
+    finally:
+        pqn_mod.fused_game_rollout = real
+    m = outs["metrics"]
+    assert "test/returned_episode_returns" in m
+    assert "test/returned_episode" in m
+    # rewards are bounded in Breakout: any finished-episode mean is finite
+    # or NaN (no episode finished) — never inf
+    assert not np.isinf(np.asarray(m["test/returned_episode_returns"])).any()
