@@ -158,6 +158,7 @@ def make_train(
     config: Dict[str, Any],
     logger: Optional[MetricLogger] = None,
     pmap_axis: Optional[str] = None,
+    shard_hint: Optional[Callable] = None,
 ) -> Callable:
     """Build the jittable `train(rng) -> {"runner_state", "metrics"}`.
 
@@ -169,6 +170,15 @@ def make_train(
     gradients + batch-norm statistics + metrics are pmean'd over the axis so
     learner replicas stay in lockstep — the data-parallel actor/learner
     layout over ICI that BASELINE.json's north star asks for.
+
+    `shard_hint` is the alternative (GSPMD/jit-sharding) scaling hook: a
+    pytree→pytree function (normally `with_sharding_constraint` to an
+    "env"-sharded NamedSharding; see parallel/spmd.py:make_train_gspmd)
+    applied to the env-batch exploration state at creation and once per
+    update, from which XLA's partitioner propagates shardings through the
+    whole fused program. Mutually exclusive with `pmap_axis` in spirit:
+    pmap_axis = explicit per-shard SPMD (shard_map), shard_hint = global
+    program + compiler partitioning.
     """
 
     config = apply_eval_subsample(dict(config))
@@ -272,6 +282,8 @@ def make_train(
 
         def _update_step(runner_state, unused):
             train_state, expl_state, test_metrics, rng = runner_state
+            if shard_hint is not None:
+                expl_state = shard_hint(expl_state)
 
             # ---- rollout ------------------------------------------------
             def _step_env(carry, _):
@@ -621,6 +633,8 @@ def make_train(
 
             rng, _rng = jax.random.split(rng)
             expl_state = vmap_reset(_rng)
+            if shard_hint is not None:
+                expl_state = shard_hint(expl_state)
 
             rng, _rng = jax.random.split(rng)
             runner_state = (train_state, expl_state, test_metrics, _rng)

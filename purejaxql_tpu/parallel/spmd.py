@@ -89,6 +89,60 @@ def make_train_spmd(
     return jax.jit(spmd)
 
 
+def make_train_gspmd(
+    config: Dict[str, Any],
+    mesh: Mesh,
+    axis_name: str = "env",
+    logger: Optional[MetricLogger] = None,
+    make_train: Callable = pqn.make_train,
+) -> Callable:
+    """The jit-sharding (GSPMD) alternative to `make_train_spmd`: ONE
+    global program at global NUM_ENVS, with a `with_sharding_constraint`
+    pinning the env-batch exploration state to `P(axis_name)`; XLA's
+    partitioner propagates shardings through the fused scan and inserts
+    the collectives itself (the "annotate + let XLA shard" recipe).
+
+    Semantics: unlike shard_map SPMD (per-shard rng streams, shard-local
+    minibatch shuffles — a *different sample* of the algorithm), this is
+    the SAME program as single-chip, merely partitioned — results match
+    the unsharded trainer up to float reduction order (see
+    tests/test_spmd.py::test_gspmd_matches_single_device). The trade: the
+    global minibatch shuffle becomes a cross-chip all-to-all each epoch,
+    where shard_map pays only one gradient pmean — so shard_map is the
+    production path and this is the parity/verification path. Both are
+    kept per the comparison recipe in BASELINE.json's north star.
+    """
+    from jax.sharding import NamedSharding
+
+    n_shards = mesh.shape[axis_name]
+    assert config["NUM_ENVS"] % n_shards == 0, (
+        f"NUM_ENVS={config['NUM_ENVS']} not divisible by {n_shards} shards"
+    )
+    n_envs = int(config["NUM_ENVS"])
+
+    def shard_hint(tree):
+        def pin(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_envs:
+                spec = P(axis_name, *([None] * (x.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, spec)
+                )
+            return x
+
+        return jax.tree_util.tree_map(pin, tree)
+
+    train = make_train(config, logger=logger, shard_hint=shard_hint)
+
+    def body(rng):
+        out = train(rng)
+        return {
+            "train_state": out["runner_state"][0],
+            "metrics": out["metrics"],
+        }
+
+    return jax.jit(body)
+
+
 def make_train_spmd_seeds(
     config: Dict[str, Any],
     mesh: Mesh,

@@ -128,3 +128,37 @@ def test_spmd_seed_axis():
     ts = np.asarray(out["train_state"].timesteps)
     assert (ts == int(float(config["TOTAL_TIMESTEPS"]))).all()
     assert np.isfinite(np.asarray(out["metrics"]["td_loss"])).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_gspmd_matches_single_device():
+    """The jit-sharding (with_sharding_constraint) variant runs the SAME
+    global program as single-chip, merely partitioned — final params must
+    match the unsharded trainer up to float reduction order, and the
+    global step counter exactly (ROADMAP: shard_map vs jit-sharding
+    comparison)."""
+    from purejaxql_tpu.algo import pqn
+    from purejaxql_tpu.parallel.spmd import make_train_gspmd
+
+    config = spmd_config()
+    rng = jax.random.PRNGKey(3)
+
+    single = jax.jit(pqn.make_train(config))(rng)
+    single_params = jax.tree_util.tree_leaves(single["runner_state"][0].params)
+
+    mesh = make_mesh(env=8)
+    out = jax.block_until_ready(make_train_gspmd(config, mesh)(rng))
+    sharded_params = jax.tree_util.tree_leaves(out["train_state"].params)
+
+    assert int(np.asarray(out["train_state"].timesteps)) == int(
+        np.asarray(single["runner_state"][0].timesteps)
+    )
+    for a, b in zip(single_params, sharded_params):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(single["metrics"]["td_loss"]),
+        np.asarray(out["metrics"]["td_loss"]),
+        rtol=2e-4, atol=2e-5,
+    )
