@@ -59,6 +59,29 @@ def smooth_l1_loss(pred, target, beta: float = 1.0):
     return jnp.where(abs_diff < beta, 0.5 * diff**2 / beta, abs_diff - 0.5 * beta)
 
 
+def fused_pendulum_rollout(
+    seed, noise_std, actor_params, critic_params, env_state, T,
+    max_steps, linspace_noise, **kw,
+):
+    """Run a whole T-step AC rollout — actor forward, noise-ladder
+    exploration, critic-ensemble value, Pendulum physics, auto-reset — as
+    ONE Pallas kernel (ops/pallas_rollout.py) and return the per-step
+    streams plus the final raw env state. Shared by the training rollout
+    and the fused greedy eval; `kw` forwards use_prng/interpret for the
+    CPU interpret-mode tests."""
+    from purejaxql_tpu.ops import pallas_rollout as pr
+
+    stf0, sti0 = pr.state_matrix_from_pendulum(env_state)
+    (obs_seq, u, greedy, value, rew, done_f, final_obs, stf1, sti1) = (
+        pr.pendulum_ac_rollout_pallas(
+            seed, noise_std, actor_params, critic_params, stf0, sti0, T,
+            max_steps=max_steps, linspace_noise=linspace_noise, **kw,
+        )
+    )
+    new_env_state = pr.pendulum_from_state_matrix(stf1, sti1)
+    return obs_seq, u, greedy, value, rew, done_f, final_obs, new_env_state
+
+
 def build_ac_env(config):
     env, env_params = make_env(config["ENV_NAME"], **(config.get("ENV_KWARGS") or {}))
     aspace = env.action_space(env_params)
@@ -112,6 +135,23 @@ def make_train(
     )
 
     num_critics = config.get("NUM_CRITICS", 2)
+    use_fused_rollout = config.get("FUSED_ROLLOUT", False)
+    if use_fused_rollout and (
+        config["ENV_NAME"] != "Pendulum-v1"
+        or config.get("NORM_TYPE") != "layer_norm"
+        or config.get("NORM_INPUT", False)
+        or config.get("NORMALIZE_OBS", False)
+        or config.get("NORMALIZE_REWARD", False)
+        or len(config["ACTOR_HIDDEN_SIZES"]) != 2
+        or len(config["CRITIC_HIDDEN_SIZES"]) != 2
+        or num_critics != 2
+        or config.get("ACTIVATION", "relu") != "relu"
+    ):
+        raise ValueError(
+            "FUSED_ROLLOUT (AC family) supports Pendulum-v1 with layer_norm, "
+            "relu, 2 hidden layers, NUM_CRITICS=2, and no obs/reward "
+            "normalization (ops/pallas_rollout.py pendulum_ac_rollout_pallas)"
+        )
     rew_scale = config.get("REW_SCALE", 1.0)
     timestep_scale = config.get("TIMESTEP_SCALE", 1)
     metric_callback = logger.make_callback() if logger is not None else None
@@ -233,9 +273,108 @@ def make_train(
                 runner_state = (train_state, env_state, obsv, rng, test_metrics)
                 return runner_state, (transition, info)
 
-            runner_state, (traj_batch, infos) = jax.lax.scan(
-                _env_step, runner_state, None, config["NUM_STEPS"]
-            )
+            if use_fused_rollout:
+                # whole rollout in one Pallas kernel — actor + noise
+                # ladder + critic ensemble + Pendulum physics in VMEM
+                # (ops/pallas_rollout.py); LogVec episode stats replayed
+                # from the (reward, done) streams, same trade as the
+                # FF-PQN fused path (algo/pqn.py)
+                train_state, env_state, last_obs, rng, test_metrics = (
+                    runner_state
+                )
+                noise_now = noise_scheduler(train_state["actor"].n_updates)
+                rng, _rng = jax.random.split(rng)
+                seed = jax.random.randint(
+                    _rng, (), 0, jnp.iinfo(jnp.int32).max
+                )
+                (obs_seq, u_seq, greedy_seq, val_seq, rew, done_f,
+                 final_obs, new_raw_state) = fused_pendulum_rollout(
+                    seed, noise_now, train_state["actor"].params,
+                    train_state["critic"].params, env_state.env_state,
+                    config["NUM_STEPS"],
+                    max_steps=int(env_params.max_steps_in_episode),
+                    linspace_noise=config.get("LINSPACE_NOISE", True),
+                )
+                next_obs = jnp.concatenate(
+                    [obs_seq[1:], final_obs[None]], axis=0
+                )
+                traj_batch = ACTransition(
+                    done=done_f,
+                    original_action=greedy_seq,
+                    action=u_seq,
+                    next_action=u_seq,  # filled after the rollout
+                    value=val_seq,
+                    reward=rew_scale * rew,
+                    obs=obs_seq,
+                    next_obs=next_obs,
+                )
+
+                def _log_replay(carry, rd):
+                    ep_r, ep_l = carry
+                    r, dn = rd
+                    ner, nel = ep_r + r, ep_l + 1
+                    nd = 1.0 - dn
+                    info = {
+                        "returned_episode_returns": ner * dn,
+                        "returned_episode_lengths": (
+                            nel * dn.astype(jnp.int32)
+                        ),
+                        "returned_episode": dn.astype(bool),
+                        "original_reward": r,
+                    }
+                    return (ner * nd, nel * nd.astype(jnp.int32)), info
+
+                (ep_r, ep_l), raw_infos = jax.lax.scan(
+                    _log_replay,
+                    (env_state.episode_returns, env_state.episode_lengths),
+                    (rew, done_f),
+                )
+                # carry the last *returned* values forward between dones,
+                # LogVec's returned_episode_* semantics
+                def _hold(carry, x):
+                    val, mask = x
+                    held = jnp.where(mask, val, carry)
+                    return held, held
+
+                rr0 = env_state.returned_episode_returns
+                rl0 = env_state.returned_episode_lengths
+                rr_last, rr = jax.lax.scan(
+                    _hold, rr0,
+                    (raw_infos["returned_episode_returns"],
+                     raw_infos["returned_episode"]),
+                )
+                rl_last, rl = jax.lax.scan(
+                    _hold, rl0,
+                    (raw_infos["returned_episode_lengths"],
+                     raw_infos["returned_episode"]),
+                )
+                ts = env_state.timestep + jnp.arange(
+                    1, config["NUM_STEPS"] + 1, dtype=jnp.int32
+                )
+                infos = {
+                    "returned_episode_returns": rr,
+                    "returned_episode_lengths": rl,
+                    "returned_episode": raw_infos["returned_episode"],
+                    "timestep": jnp.broadcast_to(
+                        ts[:, None], done_f.shape
+                    ),
+                    "original_reward": raw_infos["original_reward"],
+                }
+                env_state = env_state.replace(
+                    env_state=new_raw_state,
+                    episode_returns=ep_r,
+                    episode_lengths=ep_l,
+                    returned_episode_returns=rr_last,
+                    returned_episode_lengths=rl_last,
+                    timestep=env_state.timestep + config["NUM_STEPS"],
+                )
+                runner_state = (
+                    train_state, env_state, final_obs, rng, test_metrics
+                )
+            else:
+                runner_state, (traj_batch, infos) = jax.lax.scan(
+                    _env_step, runner_state, None, config["NUM_STEPS"]
+                )
 
             train_state, env_state, last_obs, rng, test_metrics = runner_state
             rng, _rng = jax.random.split(rng)
@@ -460,6 +599,60 @@ def make_train(
         def get_test_metrics(train_state, rng):
             if not config.get("TEST_DURING_TRAINING", False):
                 return None
+
+            if use_fused_rollout:
+                # greedy eval through the same Pallas kernel (noise 0),
+                # scanned in NUM_STEPS chunks so the kernel instance is
+                # shared shape-wise with training when TEST_NUM_ENVS ==
+                # NUM_ENVS (mirrors algo/pqn.py's fused eval)
+                chunk = config["NUM_STEPS"]
+                n_chunks = -(-config["TEST_NUM_STEPS"] // chunk)
+                rng, _rng = jax.random.split(rng)
+                reset_rng = jax.random.split(_rng, config["TEST_NUM_ENVS"])
+                _, test_state = env.reset(reset_rng, env_params)
+                rng, _rng = jax.random.split(rng)
+                seed0 = jax.random.randint(
+                    _rng, (), 0, jnp.iinfo(jnp.int32).max - n_chunks * chunk
+                )
+
+                def _chunk(raw_state, i):
+                    (_, _, _, _, rew, done_f, _, raw_state) = (
+                        fused_pendulum_rollout(
+                            seed0 + i * chunk, jnp.float32(0.0),
+                            train_state["actor"].params,
+                            train_state["critic"].params, raw_state, chunk,
+                            max_steps=int(env_params.max_steps_in_episode),
+                            linspace_noise=config.get(
+                                "LINSPACE_NOISE", True
+                            ),
+                        )
+                    )
+                    return raw_state, (rew, done_f)
+
+                _, (rews, dones) = jax.lax.scan(
+                    _chunk, test_state.env_state, jnp.arange(n_chunks)
+                )
+                rews = rews.reshape(-1, rews.shape[-1])
+                dones = dones.reshape(-1, dones.shape[-1])
+
+                def _ep(carry, rd):
+                    ep_r, ep_l = carry
+                    r, dn = rd
+                    ner, nel = ep_r + r, ep_l + 1
+                    info = {
+                        "returned_episode_returns": ner,
+                        "returned_episode_lengths": nel,
+                        "returned_episode": dn.astype(bool),
+                    }
+                    keep = 1.0 - dn
+                    return (ner * keep, nel * keep), info
+
+                zero = jnp.zeros(rews.shape[-1], jnp.float32)
+                _, infos = jax.lax.scan(_ep, (zero, zero), (rews, dones))
+                infos = jax.tree_util.tree_map(
+                    lambda x: x[: config["TEST_NUM_STEPS"]], infos
+                )
+                return episode_mean_metrics(infos, pmap_axis)
 
             def _env_step(carry, _):
                 env_state, last_obs, rng = carry

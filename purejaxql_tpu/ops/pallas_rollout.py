@@ -2107,3 +2107,258 @@ def seaquest_from_state_matrix(st):
         move_interval=st[_Q_MVI], surfaced=st[_Q_SRF].astype(bool),
         terminal=st[_Q_TERM].astype(bool), time=st[_Q_TIME],
     )
+
+
+# ======================================================================
+# Pendulum AC fused rollout — the continuous-control (actor-critic)
+# analogue: actor MLP + tanh box-squash, the per-env Gaussian noise
+# LADDER (linspace of stds across the env batch), a 2-critic ensemble
+# value of the explored action, and the Pendulum-v1 physics, all in one
+# kernel per update (algo/pqn_ac.py `_env_step` semantics; env math
+# mirrors envs/classic/pendulum.py, networks models/actor_critic.py with
+# norm_input=False + layer_norm). Exploration/reset randomness uses the
+# hardware PRNG (Box–Muller for the Gaussian), the same
+# statistics-not-bitstream trade every fused kernel makes.
+# ======================================================================
+
+# Pendulum-v1 constants (envs/classic/pendulum.py PendulumParams)
+_P_MAX_SPEED, _P_MAX_TORQUE, _P_DT, _P_G, _P_M, _P_L = (
+    8.0, 2.0, 0.05, 10.0, 1.0, 1.0,
+)
+_PI = 3.141592653589793
+_TWO_PI = 2.0 * _PI
+
+
+def _make_pendulum_ac_kernel(num_steps: int, batch: int, use_prng: bool,
+                             max_steps: int, linspace_noise: bool):
+    B = batch
+
+    def _gauss(shape):
+        """Box–Muller standard normals from two hardware-uniform draws."""
+        b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        # u1 in (0, 1]: +1 keeps log() finite; u2 in [0, 1)
+        u1 = ((b1 >> 8).astype(jnp.int32) + 1).astype(jnp.float32) * (
+            1.0 / (1 << 24)
+        )
+        u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 24)
+        )
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+    def _mlp2(x, refs):
+        """dense-LN-relu x2 + linear head in env-minor layout; `refs` is
+        the 10-tuple (w1, b1, l1s, l1b, w2, b2, l2s, l2b, hw, hb)."""
+        w1, b1, l1s, l1b, w2, b2, l2s, l2b, hw, hb = refs
+        h = jnp.dot(w1[:, :], x, preferred_element_type=jnp.float32) + b1[:, :]
+        h = jnp.maximum(_layer_norm0(h, l1s[:, :], l1b[:, :]), 0.0)
+        h = jnp.dot(w2[:, :], h, preferred_element_type=jnp.float32) + b2[:, :]
+        h = jnp.maximum(_layer_norm0(h, l2s[:, :], l2b[:, :]), 0.0)
+        return (
+            jnp.dot(hw[:, :], h, preferred_element_type=jnp.float32) + hb[:, :]
+        )
+
+    def kernel(
+        seed_ref, noise_ref,
+        # actor (10) + critic0 (10) + critic1 (10) weight refs
+        *refs,
+    ):
+        (actor_refs, c0_refs, c1_refs) = (
+            refs[0:10], refs[10:20], refs[20:30]
+        )
+        stf0_ref, sti0_ref = refs[30], refs[31]
+        obs_out, scal_out, fobs_out, stf_out, sti_out = refs[32:37]
+        stf, sti = refs[37], refs[38]
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            stf[:, :] = stf0_ref[:, :]
+            sti[:, :] = sti0_ref[:, :]
+
+        if use_prng:
+            pltpu.prng_seed(seed_ref[0] + t)
+
+        theta = stf[0:1, :]
+        theta_dot = stf[1:2, :]
+        time = sti[:, :]
+        obs = jnp.concatenate(
+            [jnp.cos(theta), jnp.sin(theta), theta_dot], axis=0
+        )                                                  # (3, B)
+        obs_out[0, :, :] = obs
+
+        greedy = jnp.tanh(_mlp2(obs, actor_refs)) * _P_MAX_TORQUE  # (1, B)
+
+        if use_prng:
+            z = _gauss((1, B))
+            rst = pltpu.bitcast(pltpu.prng_random_bits((2, B)), jnp.uint32)
+            ru = (rst >> 8).astype(jnp.int32).astype(jnp.float32) * (
+                1.0 / (1 << 24)
+            )                                              # U[0,1) (2, B)
+            reset_theta = (ru[0:1, :] * 2.0 - 1.0) * _PI
+            reset_thdot = ru[1:2, :] * 2.0 - 1.0
+        else:
+            z = jnp.zeros((1, B), jnp.float32)
+            reset_theta = jnp.zeros((1, B), jnp.float32)
+            reset_thdot = jnp.zeros((1, B), jnp.float32)
+
+        if linspace_noise:
+            lane = jax.lax.broadcasted_iota(jnp.float32, (1, B), 1)
+            stds = lane * (noise_ref[0] / max(B - 1, 1))
+        else:
+            stds = jnp.full((1, B), noise_ref[0])
+        u = jnp.clip(
+            greedy + z * stds * _P_MAX_TORQUE, -_P_MAX_TORQUE, _P_MAX_TORQUE
+        )                                                  # explored (1, B)
+
+        cx = jnp.concatenate([obs, u], axis=0)             # (4, B)
+        v0 = _mlp2(cx, c0_refs)
+        v1 = _mlp2(cx, c1_refs)
+        value = 0.5 * (v0 + v1)                            # (1, B)
+
+        # ---- physics (pendulum.py step_env) ---------------------------
+        shifted = theta + _PI
+        angle = shifted - _TWO_PI * jnp.floor(shifted / _TWO_PI) - _PI
+        cost = (
+            angle * angle
+            + 0.1 * theta_dot * theta_dot
+            + 0.001 * u * u
+        )
+        newthdot = theta_dot + (
+            3.0 * _P_G / (2.0 * _P_L) * jnp.sin(theta)
+            + 3.0 / (_P_M * _P_L * _P_L) * u
+        ) * _P_DT
+        newthdot = jnp.clip(newthdot, -_P_MAX_SPEED, _P_MAX_SPEED)
+        newth = theta + newthdot * _P_DT
+        ntime = time + 1
+        done = (ntime >= max_steps).astype(jnp.float32)
+
+        scal_out[0, :, :] = jnp.concatenate(
+            [u, greedy, value, -cost, done, jnp.zeros((3, B), jnp.float32)],
+            axis=0,
+        )
+
+        keep = 1.0 - done
+        newth = newth * keep + reset_theta * done
+        newthdot = newthdot * keep + reset_thdot * done
+        new_last_u = u * keep
+        ntime = jnp.where(done > 0.0, 0, ntime)
+        nsf = jnp.concatenate([newth, newthdot, new_last_u], axis=0)
+        stf[:, :] = nsf
+        sti[:, :] = ntime
+
+        @pl.when(t == num_steps - 1)
+        def _():
+            stf_out[:, :] = nsf
+            sti_out[:, :] = ntime
+            fobs_out[:, :] = jnp.concatenate(
+                [jnp.cos(newth), jnp.sin(newth), newthdot], axis=0
+            )
+
+    return kernel
+
+
+def _pack_mlp2(p, in_dim, out_dim):
+    """Env-minor packing of a 2-hidden-layer dense-LN MLP param tree
+    (models/actor_critic.py Actor/Critic with 2 hidden sizes)."""
+    return (
+        p["Dense_0"]["kernel"].T, p["Dense_0"]["bias"][:, None],
+        p["LayerNorm_0"]["scale"][:, None], p["LayerNorm_0"]["bias"][:, None],
+        p["Dense_1"]["kernel"].T, p["Dense_1"]["bias"][:, None],
+        p["LayerNorm_1"]["scale"][:, None], p["LayerNorm_1"]["bias"][:, None],
+        p["Dense_2"]["kernel"].T, p["Dense_2"]["bias"][:, None],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_steps", "use_prng", "interpret", "max_steps", "linspace_noise",
+    ),
+)
+def pendulum_ac_rollout_pallas(
+    seed: jax.Array,
+    noise_std: jax.Array,
+    actor_params: dict,
+    critic_params: dict,     # vmapped tree with leading NUM_CRITICS=2 axis
+    stf0: jax.Array,         # (3, B) f32 [theta, theta_dot, last_u]
+    sti0: jax.Array,         # (1, B) int32 time
+    num_steps: int,
+    use_prng: bool = True,
+    interpret: bool = False,
+    max_steps: int = 200,
+    linspace_noise: bool = True,
+):
+    """Pendulum actor-critic analogue of `cartpole_rollout_pallas`.
+    Returns (obs (T,B,3), explored_u (T,B,1), greedy (T,B,1), value (T,B),
+    reward (T,B), done (T,B) f32, final_obs (B,3), stf (3,B), sti (1,B))."""
+    B = stf0.shape[1]
+    T = num_steps
+    actor_w = _pack_mlp2(actor_params, 3, 1)
+    c0 = jax.tree_util.tree_map(lambda x: x[0], critic_params)
+    c1 = jax.tree_util.tree_map(lambda x: x[1], critic_params)
+    critic_w = _pack_mlp2(c0, 4, 1) + _pack_mlp2(c1, 4, 1)
+
+    vm = pltpu.ANY if interpret else pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        *([pl.BlockSpec(memory_space=vm)] * 32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 3, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 8, B), lambda t: (t, 0, 0), memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+        pl.BlockSpec(memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, 3, B), jnp.float32),
+        jax.ShapeDtypeStruct((T, 8, B), jnp.float32),
+        jax.ShapeDtypeStruct((3, B), jnp.float32),
+        jax.ShapeDtypeStruct((3, B), jnp.float32),
+        jax.ShapeDtypeStruct((1, B), jnp.int32),
+    ]
+    kernel = _make_pendulum_ac_kernel(T, B, use_prng, max_steps,
+                                      linspace_noise)
+    obs_cm, scal, fobs_cm, stf1, sti1 = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((3, B), jnp.float32),
+            pltpu.VMEM((1, B), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([noise_std], jnp.float32),
+        *actor_w, *critic_w,
+        stf0, sti0,
+    )
+    obs_seq = jnp.transpose(obs_cm, (0, 2, 1))           # (T, B, 3)
+    final_obs = fobs_cm.T                                # (B, 3)
+    u = scal[:, 0, :][..., None]                         # (T, B, 1)
+    greedy = scal[:, 1, :][..., None]
+    value = scal[:, 2, :]
+    rew = scal[:, 3, :]
+    done = scal[:, 4, :]
+    return obs_seq, u, greedy, value, rew, done, final_obs, stf1, sti1
+
+
+def state_matrix_from_pendulum(pstate) -> tuple:
+    st = jnp.stack(
+        [pstate.theta, pstate.theta_dot, pstate.last_u], axis=0
+    ).astype(jnp.float32)
+    return st, pstate.time.astype(jnp.int32)[None, :]
+
+
+def pendulum_from_state_matrix(stf, sti):
+    from purejaxql_tpu.envs.classic.pendulum import PendulumState
+
+    return PendulumState(
+        theta=stf[0], theta_dot=stf[1], last_u=stf[2], time=sti[0]
+    )

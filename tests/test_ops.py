@@ -579,3 +579,107 @@ def test_fused_eval_interpret_end_to_end():
     # rewards are bounded in Breakout: any finished-episode mean is finite
     # or NaN (no episode finished) — never inf
     assert not np.isinf(np.asarray(m["test/returned_episode_returns"])).any()
+
+
+def test_fused_pendulum_interpret_exactness():
+    """Pendulum AC fused rollout (PRNG off => greedy, no resets in 12
+    steps) matches the XLA engine's actor, critic-ensemble value, physics,
+    rewards, and final state exactly."""
+    import numpy as np
+    from purejaxql_tpu.envs import make
+    from purejaxql_tpu.models.actor_critic import Actor, Critic
+    from purejaxql_tpu.ops.pallas_rollout import (
+        pendulum_ac_rollout_pallas,
+        pendulum_from_state_matrix,
+        state_matrix_from_pendulum,
+    )
+
+    B, T, H = 16, 12, 64
+    env, params = make("Pendulum-v1")
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    obs0, state0 = jax.vmap(env.reset, in_axes=(0, None))(keys, params)
+
+    actor = Actor(
+        1, action_scale=jnp.asarray(2.0), action_bias=jnp.asarray(0.0),
+        hidden_sizes=(H, H), norm_type="layer_norm",
+    )
+    av = actor.init(jax.random.PRNGKey(1), jnp.zeros(3))
+    critic = Critic(hidden_sizes=(H, H), norm_type="layer_norm")
+    cv = jax.vmap(critic.init, in_axes=(0, None, None))(
+        jax.random.split(jax.random.PRNGKey(2), 2), jnp.zeros(3),
+        jnp.zeros(1),
+    )
+
+    def ref_step(carry, _):
+        obs, st = carry
+        a = actor.apply(av, obs, train=False)
+        v = jax.vmap(lambda p: critic.apply(p, obs, a, train=False))(
+            cv
+        ).mean(0)
+        o2, st2, r, d, _ = jax.vmap(env.step_env, in_axes=(0, 0, 0, None))(
+            jax.random.split(jax.random.PRNGKey(3), B), st, a, params
+        )
+        return (o2, st2), (obs, a, v, r, d)
+
+    (_, final_st), (obs_r, act_r, val_r, rew_r, done_r) = jax.lax.scan(
+        ref_step, (obs0, state0), None, T
+    )
+    assert not np.asarray(done_r).any()
+
+    stf0, sti0 = state_matrix_from_pendulum(state0)
+    obs_s, u, greedy, value, rew, done, fobs, stf1, sti1 = (
+        pendulum_ac_rollout_pallas(
+            jnp.asarray(0), jnp.asarray(0.0), av["params"], cv["params"],
+            stf0, sti0, T, use_prng=False, interpret=True,
+        )
+    )
+    assert np.allclose(np.asarray(obs_s), np.asarray(obs_r), atol=1e-5)
+    assert np.allclose(np.asarray(u), np.asarray(act_r), atol=1e-5)
+    assert np.allclose(np.asarray(value), np.asarray(val_r), atol=1e-5)
+    assert np.allclose(np.asarray(rew), np.asarray(rew_r), atol=1e-5)
+    ps = pendulum_from_state_matrix(stf1, sti1)
+    for f in ("theta", "theta_dot", "last_u"):
+        assert np.allclose(
+            np.asarray(getattr(ps, f)), np.asarray(getattr(final_st, f)),
+            atol=1e-5,
+        ), f
+    assert np.array_equal(np.asarray(ps.time), np.asarray(final_st.time))
+
+
+def test_fused_ac_train_interpret_end_to_end():
+    """Interpret-mode smoke of the whole fused AC trainer on Pendulum:
+    make_train(FUSED_ROLLOUT=True) compiles, trains, evals, and the LogVec
+    episode replay produces finite episode metrics."""
+    from functools import partial
+
+    from purejaxql_tpu.algo import pqn_ac as ac_mod
+    from purejaxql_tpu.core.config import compose
+
+    real = ac_mod.fused_pendulum_rollout
+    ac_mod.fused_pendulum_rollout = partial(
+        real, use_prng=False, interpret=True
+    )
+    try:
+        config = compose(
+            alg="pqn_pendulum",
+            overrides=[
+                "TOTAL_TIMESTEPS=512", "NUM_ENVS=8", "NUM_STEPS=16",
+                "NUM_MINIBATCHES=2", "NUM_EPOCHS=1",
+                "ACTOR_HIDDEN_SIZES=[32,32]", "CRITIC_HIDDEN_SIZES=[32,32]",
+                "TEST_DURING_TRAINING=True", "TEST_NUM_ENVS=8",
+                "TEST_NUM_STEPS=32", "TEST_INTERVAL=0.01",
+                "FUSED_ROLLOUT=True", "COLLECT_METRICS=True",
+            ],
+        )
+        outs = jax.block_until_ready(
+            jax.jit(ac_mod.make_train(config))(jax.random.PRNGKey(0))
+        )
+    finally:
+        ac_mod.fused_pendulum_rollout = real
+    m = outs["metrics"]
+    assert np.isfinite(np.asarray(m["value_loss"])).all()
+    assert np.isfinite(np.asarray(m["loss_actor"])).all()
+    assert "test/returned_episode_returns" in m
+    # LogVec replay: per-update timestep counters advance by NUM_STEPS
+    ts = np.asarray(m["timestep"])
+    assert ts.ndim >= 1 and (np.diff(ts.reshape(ts.shape[0], -1).mean(1)) > 0).all()
