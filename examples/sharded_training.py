@@ -6,6 +6,10 @@ Run on any device count; for a CPU test mesh:
         python examples/sharded_training.py
 """
 
+from purejaxql_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 import jax
 import numpy as np
 

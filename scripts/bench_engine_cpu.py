@@ -25,6 +25,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+from purejaxql_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()
+
 import jax
 import numpy as np
 

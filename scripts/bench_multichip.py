@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from purejaxql_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 import jax
 import numpy as np
 

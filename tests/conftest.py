@@ -19,6 +19,22 @@ if "xla_force_host_platform_device_count" not in flags:
 # cache — axon executables don't go through the CPU AOT loader.)
 os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
+# The env vars above are NOT sufficient on hosts whose sitecustomize
+# registers a TPU plugin at interpreter boot and force-selects it via
+# jax.config.update("jax_platforms", ...) — an explicit config.update
+# beats JAX_PLATFORMS, so the whole suite would silently run single-chip
+# on the TPU and every mesh test would skip. Re-assert the CPU platform
+# through the same config API (and drop any already-initialized backends
+# so the 8-device host count takes effect).
+from purejaxql_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()
+import jax  # noqa: E402
+
+assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
+    f"test mesh setup failed: {jax.devices()}"
+)
+
 import pytest  # noqa: E402
 
 
