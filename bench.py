@@ -141,6 +141,24 @@ WORKLOADS = {
         total=int(5e5) * 64,
         n_seeds=64,
     ),
+    # continuous-control (AC-PQN) family rows: the reference publishes no
+    # playground wall-times, so these are detail rows only (no ratio).
+    # The fused row runs the whole actor-critic rollout (actor MLP +
+    # tanh squash + Gaussian noise ladder + critic ensemble + Pendulum
+    # physics) as ONE Pallas kernel (ops/pallas_rollout.py).
+    "pendulum_ac": dict(
+        alg="pqn_pendulum",
+        overrides=["COLLECT_METRICS=False"],
+        total=int(1e6),
+        family="pqn_ac",
+    ),
+    "pendulum_ac_fused": dict(
+        alg="pqn_pendulum",
+        overrides=["COLLECT_METRICS=False", "FUSED_ROLLOUT=True"],
+        total=int(1e6),
+        family="pqn_ac",
+        no_vmap=True,
+    ),
 }
 
 # headline per workload group = first row in the list that succeeds
@@ -178,16 +196,22 @@ def run_hostpool_bench() -> float:
 def run_workload(name: str) -> float:
     spec = WORKLOADS[name]
     config = compose(alg=spec["alg"], overrides=spec["overrides"])
+    if spec.get("family") == "pqn_ac":
+        from purejaxql_tpu.algo.pqn_ac import make_train as train_factory
+
+        # AC runner_state[0] is a {"actor", "critic"} TrainState dict
+        force = lambda o: np.asarray(o["runner_state"][0]["actor"].timesteps)
+    else:
+        train_factory = make_train
+        force = lambda o: np.asarray(o["runner_state"][0].timesteps)
     if spec.get("no_vmap"):
         # the fused-rollout Pallas kernel is built for a single seed
         # (vmap over pallas_call would need a batched grid)
         rngs = jax.random.PRNGKey(0)
-        fn = jax.jit(make_train(config))
-        force = lambda o: np.asarray(o["runner_state"][0].timesteps)
+        fn = jax.jit(train_factory(config))
     else:
         rngs = jax.random.split(jax.random.PRNGKey(0), spec.get("n_seeds", 1))
-        fn = jax.jit(jax.vmap(make_train(config)))
-        force = lambda o: np.asarray(o["runner_state"][0].timesteps)
+        fn = jax.jit(jax.vmap(train_factory(config)))
 
     outs = fn(rngs)
     force(outs)  # warmup + force
