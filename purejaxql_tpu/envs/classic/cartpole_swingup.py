@@ -1,11 +1,17 @@
-"""CartPoleSwingUp: dm-suite cartpole.swingup-class continuous control.
+"""CartPoleSwingUp: dm-suite cartpole-class continuous control, 4 tasks.
 
-Same rigid-body dynamics as CartPole-v1 but the pole starts hanging DOWN,
-the force is continuous in [-10, 10] N, there is no early termination,
-and the per-step reward is an uprightness bonus attenuated near the track
-edges — the canonical dense swing-up task from the dm_control suite the
-reference's playground family covers (scripts/train_playground_all.sh
-dm-suite block).
+Same rigid-body dynamics as CartPole-v1 but with a continuous force in
+[-10, 10] N and no early termination. Like the dm_control cartpole domain
+the reference's playground family covers (scripts/train_playground_all.sh
+dm-suite block: CartpoleSwingup / CartpoleSwingupSparse / CartpoleBalance /
+CartpoleBalanceSparse), one dynamics model carries four reward/reset tasks:
+
+- "swingup" (default): pole starts hanging DOWN; dense uprightness bonus
+  attenuated toward the track edges.
+- "swingup_sparse": same start; reward 1 only while nearly upright
+  (cos(theta) > 0.995) and near the track center.
+- "balance": pole starts UP (small perturbation); dense reward.
+- "balance_sparse": upright start, sparse reward.
 """
 
 from __future__ import annotations
@@ -42,22 +48,35 @@ class SwingUpParams:
     max_steps_in_episode: int = struct.field(pytree_node=False, default=500)
 
 
+_TASKS = ("swingup", "swingup_sparse", "balance", "balance_sparse")
+
+
 class CartPoleSwingUp(Environment):
+    def __init__(self, task: str = "swingup"):
+        assert task in _TASKS, f"task must be one of {_TASKS}"
+        self.task = task
+
     @property
     def default_params(self) -> SwingUpParams:
         return SwingUpParams()
 
     @property
     def name(self) -> str:
-        return "CartPoleSwingUp-v0"
+        return {
+            "swingup": "CartPoleSwingUp-v0",
+            "swingup_sparse": "CartPoleSwingUpSparse-v0",
+            "balance": "CartpoleBalance-v0",
+            "balance_sparse": "CartpoleBalanceSparse-v0",
+        }[self.task]
 
     def reset_env(self, key, params):
         k1, k2 = jax.random.split(key)
+        # balance tasks start upright, swingup tasks hang down
+        theta0 = 0.0 if self.task.startswith("balance") else jnp.pi
         state = SwingUpState(
             x=jax.random.uniform(k1, (), minval=-0.1, maxval=0.1),
             x_dot=jnp.asarray(0.0),
-            # hanging down, slightly perturbed
-            theta=jnp.pi + jax.random.uniform(k2, (), minval=-0.1, maxval=0.1),
+            theta=theta0 + jax.random.uniform(k2, (), minval=-0.1, maxval=0.1),
             theta_dot=jnp.asarray(0.0),
             time=jnp.asarray(0, jnp.int32),
         )
@@ -90,10 +109,17 @@ class CartPoleSwingUp(Environment):
             x=x, x_dot=x_dot, theta=theta, theta_dot=theta_dot,
             time=state.time + 1,
         )
-        # uprightness bonus, attenuated toward the track edges
-        upright = (1.0 + jnp.cos(theta)) / 2.0
-        centered = 1.0 - jnp.abs(x) / params.x_threshold
-        reward = upright * (0.5 + 0.5 * centered)
+        if self.task.endswith("sparse"):
+            # reward 1 only while nearly upright and near the track center
+            reward = (
+                (jnp.cos(theta) > 0.995)
+                & (jnp.abs(x) < 0.5 * params.x_threshold)
+            ).astype(jnp.float32)
+        else:
+            # uprightness bonus, attenuated toward the track edges
+            upright = (1.0 + jnp.cos(theta)) / 2.0
+            centered = 1.0 - jnp.abs(x) / params.x_threshold
+            reward = upright * (0.5 + 0.5 * centered)
         done = self.is_terminal(new_state, params)
         return (
             jax.lax.stop_gradient(self.get_obs(new_state)),

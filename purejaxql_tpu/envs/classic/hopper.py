@@ -63,13 +63,22 @@ class HopperParams:
 
 
 class Hopper(Environment):
+    """One SLIP dynamics model, two reward tasks — like the dm_control
+    hopper domain behind the reference's HopperHop / HopperStand playground
+    tasks: "hop" (default, Hopper-v0) rewards forward velocity, "stand"
+    (HopperStand-v0) rewards standing tall and still."""
+
+    def __init__(self, task: str = "hop"):
+        assert task in ("hop", "stand"), task
+        self.task = task
+
     @property
     def default_params(self) -> HopperParams:
         return HopperParams()
 
     @property
     def name(self) -> str:
-        return "Hopper-v0"
+        return "Hopper-v0" if self.task == "hop" else "HopperStand-v0"
 
     def reset_env(self, key, params):
         k1, k2 = jax.random.split(key)
@@ -157,11 +166,16 @@ class Hopper(Environment):
         s = s.replace(time=state.time + 1)
 
         fell = s.z < params.min_height
-        reward = (
-            1.5 * jnp.clip(s.vx, -2.0, 3.0)
-            + 0.5
-            - 0.05 * jnp.sum(action**2)
-        )
+        ctrl_cost = 0.05 * jnp.sum(action**2)
+        if self.task == "stand":
+            reward = (
+                jnp.clip(s.z / params.leg_length, 0.0, 1.0)
+                - 0.3 * jnp.abs(s.vx)
+                + 0.5
+                - ctrl_cost
+            )
+        else:
+            reward = 1.5 * jnp.clip(s.vx, -2.0, 3.0) + 0.5 - ctrl_cost
         reward = jnp.where(fell, reward - 1.0, reward)
         done = self.is_terminal(s, params)
         return (

@@ -6,6 +6,12 @@ tasks the reference trains on (pqn_mujoco_playground.py). Torque-controlled
 double pendulum (simplified decoupled joint dynamics), dense reward
 -(distance to target), episode length 150, target resampled per episode.
 Action: 2-D torque in [-1, 1].
+
+Like the dm_control reacher domain (reference playground dm-suite block:
+ReacherEasy / ReacherHard), the same dynamics also carry two SPARSE tasks:
+reward 1 while the fingertip is inside the target disc, whose radius is
+large ("easy", 0.20 of the 1.0 arm span) or small ("hard", 0.06) —
+proportionally the dm_control target sizes (.05/.015 on a .24 arm).
 """
 
 from __future__ import annotations
@@ -37,14 +43,25 @@ class ReacherParams:
     max_steps_in_episode: int = struct.field(pytree_node=False, default=150)
 
 
+_TARGET_RADIUS = {"easy": 0.20, "hard": 0.06}
+
+
 class Reacher(Environment):
+    def __init__(self, task: str = "dense"):
+        assert task in ("dense", "easy", "hard"), task
+        self.task = task
+
     @property
     def default_params(self) -> ReacherParams:
         return ReacherParams()
 
     @property
     def name(self) -> str:
-        return "Reacher-v0"
+        return {
+            "dense": "Reacher-v0",
+            "easy": "ReacherEasy-v0",
+            "hard": "ReacherHard-v0",
+        }[self.task]
 
     def _fingertip(self, theta, params):
         x = params.l1 * jnp.cos(theta[0]) + params.l2 * jnp.cos(
@@ -89,7 +106,10 @@ class Reacher(Environment):
         )
         tip = self._fingertip(theta, params)
         dist = jnp.linalg.norm(tip - state.target)
-        reward = -dist - 0.01 * jnp.square(torque).sum()
+        if self.task == "dense":
+            reward = -dist - 0.01 * jnp.square(torque).sum()
+        else:
+            reward = (dist < _TARGET_RADIUS[self.task]).astype(jnp.float32)
         done = new_state.time >= params.max_steps_in_episode
         return (
             jax.lax.stop_gradient(self.get_obs(new_state, params)),

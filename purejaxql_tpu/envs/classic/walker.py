@@ -67,13 +67,33 @@ class WalkerParams:
 
 
 class Walker(Environment):
+    """One dynamics model, three reward tasks — like the dm_control walker
+    domain behind the reference's WalkerStand / WalkerWalk / WalkerRun
+    playground tasks (scripts/train_playground_all.sh dm-suite block):
+
+    - "walk" (default, Walker-v0): forward velocity toward a moderate
+      target speed + alive bonus.
+    - "stand" (WalkerStand-v0): height/stillness — reward peaks standing
+      tall with no horizontal motion.
+    - "run" (WalkerRun-v0): same shape as walk but the speed reward
+      saturates at 6 m/s instead of 3, favoring fast gaits.
+    """
+
+    def __init__(self, task: str = "walk"):
+        assert task in ("walk", "stand", "run"), task
+        self.task = task
+
     @property
     def default_params(self) -> WalkerParams:
         return WalkerParams()
 
     @property
     def name(self) -> str:
-        return "Walker-v0"
+        return {
+            "walk": "Walker-v0",
+            "stand": "WalkerStand-v0",
+            "run": "WalkerRun-v0",
+        }[self.task]
 
     def reset_env(self, key, params):
         k1, k2 = jax.random.split(key)
@@ -152,11 +172,19 @@ class Walker(Environment):
         s = s.replace(time=state.time + 1)
 
         fell = s.z < params.min_height
-        reward = (
-            1.5 * jnp.clip(s.vx, -2.0, 3.0)
-            + 0.5
-            - 0.05 * jnp.sum(action**2)
-        )
+        ctrl_cost = 0.05 * jnp.sum(action**2)
+        if self.task == "stand":
+            # standing tall and still: height bonus minus motion penalty
+            reward = (
+                jnp.clip(s.z / params.leg_length, 0.0, 1.0)
+                - 0.3 * jnp.abs(s.vx)
+                + 0.5
+                - ctrl_cost
+            )
+        elif self.task == "run":
+            reward = 0.75 * jnp.clip(s.vx, -2.0, 6.0) + 0.5 - ctrl_cost
+        else:
+            reward = 1.5 * jnp.clip(s.vx, -2.0, 3.0) + 0.5 - ctrl_cost
         reward = jnp.where(fell, reward - 1.0, reward)
         done = self.is_terminal(s, params)
         return (

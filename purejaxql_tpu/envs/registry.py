@@ -25,6 +25,8 @@ def register(name: str):
 def _populate():
     if _REGISTRY:
         return
+    from functools import partial
+
     from purejaxql_tpu.envs.classic.cartpole import CartPole
     from purejaxql_tpu.envs.classic.acrobot import Acrobot
     from purejaxql_tpu.envs.classic.mountain_car import MountainCar
@@ -41,6 +43,9 @@ def _populate():
     from purejaxql_tpu.envs.classic.deep_sea import DeepSea
     from purejaxql_tpu.envs.classic.ball_in_cup import BallInCup
     from purejaxql_tpu.envs.classic.walker import Walker
+    from purejaxql_tpu.envs.classic.acrobot_swingup import AcrobotSwingup
+    from purejaxql_tpu.envs.classic.point_mass import PointMass
+    from purejaxql_tpu.envs.classic.swimmer import Swimmer
 
     _REGISTRY["CartPole-v1"] = CartPole
     _REGISTRY["Acrobot-v1"] = Acrobot
@@ -56,6 +61,26 @@ def _populate():
     _REGISTRY["DeepSea-bsuite"] = DeepSea
     _REGISTRY["BallInCup-v0"] = BallInCup
     _REGISTRY["Walker-v0"] = Walker
+
+    # dm-suite-class task variants (one dynamics model, several tasks) —
+    # names track the reference's playground dm-suite block
+    # (/root/reference/scripts/train_playground_all.sh:7-33).
+    _REGISTRY["CartPoleSwingUpSparse-v0"] = partial(
+        CartPoleSwingUp, task="swingup_sparse"
+    )
+    _REGISTRY["CartpoleBalance-v0"] = partial(CartPoleSwingUp, task="balance")
+    _REGISTRY["CartpoleBalanceSparse-v0"] = partial(
+        CartPoleSwingUp, task="balance_sparse"
+    )
+    _REGISTRY["ReacherEasy-v0"] = partial(Reacher, task="easy")
+    _REGISTRY["ReacherHard-v0"] = partial(Reacher, task="hard")
+    _REGISTRY["HopperStand-v0"] = partial(Hopper, task="stand")
+    _REGISTRY["WalkerStand-v0"] = partial(Walker, task="stand")
+    _REGISTRY["WalkerRun-v0"] = partial(Walker, task="run")
+    _REGISTRY["AcrobotSwingup-v0"] = AcrobotSwingup
+    _REGISTRY["AcrobotSwingupSparse-v0"] = partial(AcrobotSwingup, sparse=True)
+    _REGISTRY["PointMass-v0"] = PointMass
+    _REGISTRY["SwimmerSwimmer6-v0"] = Swimmer
 
     try:
         from purejaxql_tpu.envs.minatar import (
