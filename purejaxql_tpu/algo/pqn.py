@@ -235,6 +235,15 @@ def make_train(
         )
     metric_callback = logger.make_callback() if logger is not None else None
     collect_metrics = config.get("COLLECT_METRICS", True)
+    # FUSED_INTERPRET routes the fused kernels through the Pallas
+    # interpreter (CPU-runnable, deterministic eps-greedy) — used by the
+    # CPU-mesh SPMD tests and dryrun_multichip to exercise the fused path
+    # without TPU hardware.
+    fused_kw = (
+        {"use_prng": False, "interpret": True}
+        if config.get("FUSED_INTERPRET", False)
+        else {}
+    )
 
     def train(rng: jax.Array, runner_state=None):
         """Run NUM_UPDATES updates. With `runner_state` (from a previous
@@ -322,7 +331,7 @@ def make_train(
                 (obs_seq, act, rew, done_i, q_seq, final_obs, new_env_state) = (
                     fused_game_rollout(
                         config["ENV_NAME"], seed, eps, train_state.params,
-                        log_state.env_state, T,
+                        log_state.env_state, T, **fused_kw,
                     )
                 )
                 next_obs = jnp.concatenate([obs_seq[1:], final_obs[None]], 0)
@@ -572,7 +581,7 @@ def make_train(
                     (_, _, rew, done_i, _, _, new_raw) = fused_game_rollout(
                         config["ENV_NAME"], seed0 + i * chunk,
                         jnp.float32(config["EPS_TEST"]),
-                        train_state.params, raw_state, chunk,
+                        train_state.params, raw_state, chunk, **fused_kw,
                     )
                     return new_raw, (rew, done_i.astype(jnp.float32))
 

@@ -1751,7 +1751,10 @@ def _make_seaquest_kernel(num_steps: int, batch: int, use_prng: bool,
         else:
             u = jnp.ones((1, B), jnp.float32)
             rand_act = jnp.zeros((1, B), jnp.int32)
-            neg_iota8 = -jax.lax.broadcasted_iota(jnp.float32, (8, B), 0)
+            # Mosaic's tpu.iota is integer-only: build int32, then cast
+            neg_iota8 = -jax.lax.broadcasted_iota(
+                jnp.int32, (8, B), 0
+            ).astype(jnp.float32)
             g_fb, g_eb = neg_iota8[:4], neg_iota8[:4]
             g_f, g_s, g_d = neg_iota8, neg_iota8[:4], neg_iota8[:4]
             lane = jnp.full((1, B), 4, jnp.int32)
@@ -2204,7 +2207,10 @@ def _make_pendulum_ac_kernel(num_steps: int, batch: int, use_prng: bool,
             reset_thdot = jnp.zeros((1, B), jnp.float32)
 
         if linspace_noise:
-            lane = jax.lax.broadcasted_iota(jnp.float32, (1, B), 1)
+            # Mosaic's tpu.iota is integer-only: build int32, then cast
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).astype(
+                jnp.float32
+            )
             stds = lane * (noise_ref[0] / max(B - 1, 1))
         else:
             stds = jnp.full((1, B), noise_ref[0])
