@@ -50,14 +50,32 @@ def make_train(config: Dict[str, Any], pool: Optional[HostEnvPool] = None):
         config["TOTAL_TIMESTEPS_DECAY"] // config["NUM_STEPS"] // config["NUM_ENVS"]
     )
 
+    # Inline eval envs, the pqn_atari pattern (pqn_atari.py:138-143,
+    # 229-232): TEST_ENVS extra envs live in the SAME pool, act with
+    # eps=0, and are stripped from the learn batch. One pool, one forward
+    # pass, eval rides along for free.
+    test_envs = (
+        int(config.get("TEST_ENVS", 0))
+        if config.get("TEST_DURING_TRAINING", False)
+        else 0
+    )
+    total_envs = config["NUM_ENVS"] + test_envs
+
     if pool is None:
         pool = HostEnvPool(
             config["ENV_NAME"],
-            num_envs=config["NUM_ENVS"],
+            num_envs=total_envs,
             seed=config.get("SEED", 0),
         )
-    assert pool.num_envs == config["NUM_ENVS"]
+    assert pool.num_envs == total_envs
     reset_fn, step_fn = make_callback_env(pool)
+
+    # human-normalized eval scores when the game is in the published
+    # random/human table (atari_wrapper.py:152-157 role)
+    from purejaxql_tpu.utils.atari_scores import ATARI_SCORES
+
+    score_game = config.get("SCORE_GAME", config["ENV_NAME"])
+    norm_scores = ATARI_SCORES.get(score_game)
 
     # grid games (rank-3 obs) get the CNN unless the config pins ARCH —
     # the pqn_atari shape: C++ envs + conv Q-net
@@ -104,39 +122,77 @@ def make_train(config: Dict[str, Any], pool: Optional[HostEnvPool] = None):
             )
 
         def _update_step(runner_state, unused):
-            train_state, token, last_obs, rng = runner_state
+            train_state, token, last_obs, ep_stats, rng = runner_state
 
             def _step_env(carry, _):
-                token, last_obs, rng = carry
+                token, last_obs, ep_stats, rng = carry
                 rng, rng_a = jax.random.split(rng)
                 q_vals = apply_eval(train_state, last_obs)
-                eps = jnp.full(
+                # train envs follow the schedule; inline test envs are
+                # greedy (eps=0), pqn_atari.py:229-232
+                eps = jnp.concatenate(
+                    [
+                        jnp.full(
+                            config["NUM_ENVS"],
+                            eps_scheduler(train_state.n_updates),
+                        ),
+                        jnp.zeros(test_envs),
+                    ]
+                ) if test_envs else jnp.full(
                     config["NUM_ENVS"], eps_scheduler(train_state.n_updates)
                 )
                 action = eps_greedy_batch(rng_a, q_vals, eps)
                 token2, new_obs, reward, done = step_fn(token, action)
                 new_obs = shape_obs(new_obs)
+                done_f = done.astype(jnp.float32)
+                # episode accounting for ALL envs (JaxLogEnvPoolWrapper
+                # role, atari_wrapper.py:119-157) — pure in-graph replay
+                ep_r, ep_l, ret_r, ret_l = ep_stats
+                ner, nel = ep_r + reward, ep_l + 1
+                keep = 1.0 - done_f
+                ret_r = ret_r * keep + ner * done_f
+                ret_l = (
+                    ret_l * keep.astype(jnp.int32)
+                    + nel * done.astype(jnp.int32)
+                )
+                ep_stats = (ner * keep, nel * keep.astype(jnp.int32),
+                            ret_r, ret_l)
                 transition = Transition(
                     obs=last_obs,
                     action=action,
                     reward=rew_scale * reward,
-                    done=done.astype(jnp.float32),
+                    done=done_f,
                     next_obs=new_obs,
                     q_val=q_vals,
                 )
-                return (token2, new_obs, rng), transition
+                return (token2, new_obs, ep_stats, rng), transition
 
             rng, _rng = jax.random.split(rng)
-            (token, last_obs, rng), transitions = jax.lax.scan(
-                _step_env, (token, last_obs, _rng), None, config["NUM_STEPS"]
+            (token, last_obs, ep_stats, rng), transitions = jax.lax.scan(
+                _step_env,
+                (token, last_obs, ep_stats, _rng),
+                None,
+                config["NUM_STEPS"],
             )
+
+            if test_envs:
+                # strip the greedy eval envs from the learn batch
+                # (pqn_atari.py:261-263)
+                transitions = jax.tree_util.tree_map(
+                    lambda x: x[:, : -test_envs], transitions
+                )
 
             train_state = train_state.replace(
                 timesteps=train_state.timesteps
                 + config["NUM_STEPS"] * config["NUM_ENVS"]
             )
 
-            last_q = jnp.max(apply_eval(train_state, last_obs), axis=-1)
+            last_train_obs = (
+                last_obs[: -test_envs] if test_envs else last_obs
+            )
+            last_q = jnp.max(
+                apply_eval(train_state, last_train_obs), axis=-1
+            )
             lambda_targets = lambda_returns_closure(
                 last_q,
                 transitions.reward,
@@ -204,17 +260,41 @@ def make_train(config: Dict[str, Any], pool: Optional[HostEnvPool] = None):
             train_state = train_state.replace(
                 n_updates=train_state.n_updates + 1
             )
+            ret_r, ret_l = ep_stats[2], ep_stats[3]
             metrics = {
                 "env_step": train_state.timesteps,
                 "td_loss": losses.mean(),
                 "reward_per_step": transitions.reward.mean(),
                 # 1/mean-episode-length: falls as the policy improves
                 "done_rate": transitions.done.mean(),
+                "returned_episode_returns": (
+                    ret_r[: -test_envs] if test_envs else ret_r
+                ).mean(),
+                "returned_episode_lengths": (
+                    ret_l[: -test_envs] if test_envs else ret_l
+                ).mean(),
             }
-            return (train_state, token, last_obs, rng), metrics
+            if test_envs:
+                test_ret = ret_r[-test_envs:].mean()
+                metrics["test/returned_episode_returns"] = test_ret
+                metrics["test/returned_episode_lengths"] = (
+                    ret_l[-test_envs:].astype(jnp.float32).mean()
+                )
+                if norm_scores is not None:
+                    rand_s, human_s = norm_scores
+                    metrics["test/human_normalized_score"] = (
+                        test_ret - rand_s
+                    ) / (human_s - rand_s)
+            return (train_state, token, last_obs, ep_stats, rng), metrics
 
+        ep_stats0 = (
+            jnp.zeros(total_envs),
+            jnp.zeros(total_envs, jnp.int32),
+            jnp.zeros(total_envs),
+            jnp.zeros(total_envs, jnp.int32),
+        )
         rng, _rng = jax.random.split(rng)
-        runner_state = (train_state, token, init_obs, _rng)
+        runner_state = (train_state, token, init_obs, ep_stats0, _rng)
         runner_state, metrics = jax.lax.scan(
             _update_step, runner_state, None, config["NUM_UPDATES"]
         )

@@ -29,13 +29,41 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <dlfcn.h>
 #include <functional>
 #include <memory>
 #include <mutex>
 #include <random>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
+
+// ----------------------------------------------------------------------
+// Plug-in ABI: external games load at runtime without recompiling the
+// pool (the EnvPool-extension role; how a real ALE adapter would attach —
+// see docs/ENVHOST_PLUGIN.md). A plug-in .so exposes ONE symbol:
+//
+//   int eh_plugin_get(EhPluginVTable* out);   // fill, return 0 on success
+//
+// Instances are per-env, created lazily with a seed drawn from the pool's
+// per-env RNG stream; the plug-in owns all instance state and RNG.
+// ----------------------------------------------------------------------
+extern "C" {
+typedef struct EhPluginVTable {
+  const char* name;       // registry key, e.g. "Pong-ALE"
+  int32_t obs_dim;        // product of obs_shape
+  int32_t num_actions;
+  int32_t obs_rank;       // 1..3
+  int32_t obs_shape[3];
+  void* (*create)(uint64_t seed);
+  void (*destroy)(void* env);
+  void (*reset)(void* env, float* obs);
+  // Writes next obs (post-auto-reset when done), reward and done flag.
+  void (*step)(void* env, int32_t action, float* obs, float* reward,
+               uint8_t* done);
+} EhPluginVTable;
+}
 
 namespace {
 
@@ -951,6 +979,43 @@ class MinAtarSeaquest : public Env {
   int t_ = 0;
 };
 
+// ----------------------------------------------------------------------
+// Plug-in registry + adapter
+// ----------------------------------------------------------------------
+std::mutex g_plugins_mu;
+std::unordered_map<std::string, EhPluginVTable>& plugin_registry() {
+  static std::unordered_map<std::string, EhPluginVTable> reg;
+  return reg;
+}
+
+class PluginEnv : public Env {
+ public:
+  explicit PluginEnv(const EhPluginVTable& vt) : vt_(vt) {}
+  ~PluginEnv() override {
+    if (inst_) vt_.destroy(inst_);
+  }
+  void reset(std::mt19937_64& rng, float* obs) override {
+    if (!inst_) inst_ = vt_.create(rng());
+    vt_.reset(inst_, obs);
+  }
+  void step(std::mt19937_64& rng, int action, float* obs, float* reward,
+            uint8_t* done) override {
+    if (!inst_) inst_ = vt_.create(rng());
+    vt_.step(inst_, action, obs, reward, done);
+  }
+  int obs_dim() const override { return vt_.obs_dim; }
+  int num_actions() const override { return vt_.num_actions; }
+  std::vector<int> obs_shape() const override {
+    std::vector<int> s;
+    for (int i = 0; i < vt_.obs_rank; ++i) s.push_back(vt_.obs_shape[i]);
+    return s;
+  }
+
+ private:
+  EhPluginVTable vt_;
+  void* inst_ = nullptr;
+};
+
 std::unique_ptr<Env> make_env(const std::string& name) {
   if (name == "CartPole-v1") return std::make_unique<CartPole>();
   if (name == "Acrobot-v1") return std::make_unique<Acrobot>();
@@ -960,6 +1025,12 @@ std::unique_ptr<Env> make_env(const std::string& name) {
   if (name == "SpaceInvaders-MinAtar")
     return std::make_unique<MinAtarSpaceInvaders>();
   if (name == "Seaquest-MinAtar") return std::make_unique<MinAtarSeaquest>();
+  {
+    std::lock_guard<std::mutex> lk(g_plugins_mu);
+    auto it = plugin_registry().find(name);
+    if (it != plugin_registry().end())
+      return std::make_unique<PluginEnv>(it->second);
+  }
   return nullptr;
 }
 
@@ -1110,6 +1181,28 @@ void eh_reset(void* handle, float* obs) {
 void eh_step(void* handle, const int32_t* actions, float* obs, float* rewards,
              uint8_t* dones) {
   static_cast<Pool*>(handle)->step(actions, obs, rewards, dones);
+}
+
+// Load an external game plug-in (.so exposing eh_plugin_get) and register
+// it under its self-declared name. Returns 0 on success, a negative code
+// on failure (-1 dlopen, -2 missing symbol, -3 plugin init, -4 bad vtable).
+// The handle is intentionally leaked: game code must outlive every pool.
+int eh_load_plugin(const char* so_path) {
+  void* h = dlopen(so_path, RTLD_NOW | RTLD_LOCAL);
+  if (!h) return -1;
+  using GetFn = int (*)(EhPluginVTable*);
+  auto get = reinterpret_cast<GetFn>(dlsym(h, "eh_plugin_get"));
+  if (!get) return -2;
+  EhPluginVTable vt;
+  std::memset(&vt, 0, sizeof(vt));
+  if (get(&vt) != 0) return -3;
+  if (!vt.name || !vt.create || !vt.destroy || !vt.reset || !vt.step ||
+      vt.obs_rank < 1 || vt.obs_rank > 3 || vt.obs_dim <= 0 ||
+      vt.num_actions <= 0)
+    return -4;
+  std::lock_guard<std::mutex> lk(g_plugins_mu);
+  plugin_registry()[vt.name] = vt;
+  return 0;
 }
 
 }  // extern "C"

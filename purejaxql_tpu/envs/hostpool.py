@@ -43,10 +43,9 @@ def _load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(
-            ["make", "-C", _CPP_DIR], check=True, capture_output=True
-        )
+    # make is a no-op when the .so is fresher than the sources, so always
+    # invoking it keeps the library in sync with checked-out code
+    subprocess.run(["make", "-C", _CPP_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.eh_make.restype = ctypes.c_void_p
     lib.eh_make.argtypes = [
@@ -73,8 +72,28 @@ def _load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.eh_load_plugin.argtypes = [ctypes.c_char_p]
+    lib.eh_load_plugin.restype = ctypes.c_int
     _lib = lib
     return lib
+
+
+def load_plugin(so_path: str) -> None:
+    """Register an external game plug-in (.so exposing ``eh_plugin_get``)
+    with the pool service; afterwards ``HostEnvPool(name)`` resolves the
+    plug-in's self-declared env name. This is the EnvPool-extension
+    mechanism: real ALE (or any C/C++ game) attaches at runtime without
+    recompiling the framework — see docs/ENVHOST_PLUGIN.md for the ABI."""
+    lib = _load_library()
+    rc = lib.eh_load_plugin(os.fspath(so_path).encode())
+    if rc != 0:
+        reason = {
+            -1: "dlopen failed",
+            -2: "missing eh_plugin_get symbol",
+            -3: "plugin init returned nonzero",
+            -4: "invalid vtable (name/callbacks/shape)",
+        }.get(rc, f"error {rc}")
+        raise ValueError(f"failed to load plugin {so_path!r}: {reason}")
 
 
 class HostEnvPool:
