@@ -69,11 +69,28 @@ def build_env(config):
     log_env = wrappers.Log(env)
 
     if config.get("USE_OPTIMISTIC_RESETS", False):
-        train_env = wrappers.OptimisticResetVecEnv(
-            log_env,
-            num_envs=config["NUM_ENVS"],
-            reset_ratio=min(config["OPTIMISTIC_RESET_RATIO"], config["NUM_ENVS"]),
-        )
+        if config.get("RESET_BANK", 0):
+            # opt-in fast path: worldgen amortized through a rolling reset
+            # bank (see wrappers.BankedResetVecEnv docstring)
+            train_env = wrappers.BankedResetVecEnv(
+                log_env,
+                num_envs=config["NUM_ENVS"],
+                reset_ratio=min(
+                    config["OPTIMISTIC_RESET_RATIO"], config["NUM_ENVS"]
+                ),
+                bank_size=int(config["RESET_BANK"]),
+                refresh_every=int(
+                    config.get("RESET_BANK_REFRESH_EVERY", 16)
+                ),
+            )
+        else:
+            train_env = wrappers.OptimisticResetVecEnv(
+                log_env,
+                num_envs=config["NUM_ENVS"],
+                reset_ratio=min(
+                    config["OPTIMISTIC_RESET_RATIO"], config["NUM_ENVS"]
+                ),
+            )
         test_env = wrappers.OptimisticResetVecEnv(
             log_env,
             num_envs=config["TEST_NUM_ENVS"],
@@ -216,6 +233,12 @@ def make_train(
     # runtimes lack; default is collect-in-graph + host-side replay.
     use_callback = config.get("LOG_VIA_CALLBACK", False)
     use_q_lambda = config.get("Q_LAMBDA", True)
+    fast_targets = config.get("FAST_TARGETS", False)
+    if fast_targets and config.get("NORM_TYPE") != "layer_norm":
+        raise ValueError(
+            "FAST_TARGETS requires NORM_TYPE=layer_norm (the out-of-grad "
+            "target forward cannot replicate batch-stats mutation)"
+        )
     use_fused_rollout = config.get("FUSED_ROLLOUT", False)
     if use_fused_rollout and (
         config["ENV_NAME"]
@@ -433,8 +456,48 @@ def make_train(
                     train_state, rng = carry
                     minibatch, target = minibatch_and_target
 
+                    if (not use_q_lambda) and fast_targets:
+                        # FAST_TARGETS: the bootstrap Q(s') is a constant
+                        # w.r.t. params (the reference stop_gradients it,
+                        # pqn_craftax.py:292), so computing it OUTSIDE the
+                        # grad closure skips the backward pass over the
+                        # next_obs half of the concat batch — identical
+                        # gradients, ~1/3 less learn-phase compute.
+                        # Layer-norm only (no batch-stats mutation to
+                        # replicate), enforced at config time below.
+                        q_next_c = jnp.max(
+                            network.apply(
+                                {
+                                    "params": train_state.params,
+                                    "batch_stats": train_state.batch_stats,
+                                },
+                                minibatch.next_obs,
+                                train=False,
+                            ),
+                            axis=-1,
+                        )
+                        fast_tgt = (
+                            minibatch.reward
+                            + (1 - minibatch.done)
+                            * config["GAMMA"]
+                            * q_next_c
+                        )
+                    else:
+                        fast_tgt = None
+
                     def _loss_fn(params):
-                        if use_q_lambda:
+                        if (not use_q_lambda) and fast_targets:
+                            q_vals, updates = network.apply(
+                                {
+                                    "params": params,
+                                    "batch_stats": train_state.batch_stats,
+                                },
+                                minibatch.obs,
+                                train=True,
+                                mutable=["batch_stats"],
+                            )
+                            tgt = fast_tgt
+                        elif use_q_lambda:
                             q_vals, updates = network.apply(
                                 {
                                     "params": params,

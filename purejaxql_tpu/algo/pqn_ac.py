@@ -88,6 +88,10 @@ def build_ac_env(config):
     low = float(np.asarray(aspace.low).reshape(-1)[0])
     high = float(np.asarray(aspace.high).reshape(-1)[0])
     wrapped = wrappers.VecEnv(env)
+    # scrub NaN/Inf rewards+obs BEFORE episode accounting
+    # (brax_wrappers.py:210-213); off only if explicitly disabled
+    if config.get("SCRUB_NAN", True):
+        wrapped = wrappers.ScrubNaN(wrapped)
     wrapped = wrappers.LogVec(wrapped)
     wrapped = wrappers.ClipAction(wrapped, low=low, high=high)
     if config.get("NORMALIZE_REWARD", False):

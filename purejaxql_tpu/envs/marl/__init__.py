@@ -25,7 +25,16 @@ _MARL_REGISTRY = {
 
 def make_marl(name: str, **kwargs) -> MultiAgentEnv:
     if name not in _MARL_REGISTRY:
+        # fall through to an installed jaxmarl (its envs speak this
+        # protocol natively) — in-tree names always win
+        from purejaxql_tpu.envs.external import resolve_external_marl
+
+        env = resolve_external_marl(name, **kwargs)
+        if env is not None:
+            return env
         raise ValueError(
-            f"Unknown MARL env '{name}'. Registered: {sorted(_MARL_REGISTRY)}"
+            f"Unknown MARL env '{name}' (not in-tree, and jaxmarl is not "
+            f"installed or doesn't know it). Registered: "
+            f"{sorted(_MARL_REGISTRY)}"
         )
     return _MARL_REGISTRY[name](**kwargs)

@@ -116,8 +116,16 @@ def make(env_name: str, **env_kwargs) -> Tuple[Environment, object]:
     remaining kwargs go to the env constructor."""
     _populate()
     if env_name not in _REGISTRY:
+        # fall through to installed ecosystem packages (gymnax/craftax) —
+        # in-tree names always win; see envs/external.py
+        from purejaxql_tpu.envs.external import resolve_external
+
+        resolved = resolve_external(env_name, **env_kwargs)
+        if resolved is not None:
+            return resolved
         raise ValueError(
-            f"Unknown env '{env_name}'. Registered: {sorted(_REGISTRY)}"
+            f"Unknown env '{env_name}' (not in-tree, and no installed "
+            f"ecosystem package resolves it). Registered: {sorted(_REGISTRY)}"
         )
     ctor = _REGISTRY[env_name]
     probe_params = ctor().default_params

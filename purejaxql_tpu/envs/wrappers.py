@@ -249,6 +249,186 @@ class OptimisticResetVecEnv(Wrapper):
         return obs, state, reward, done, info
 
 
+@struct.dataclass
+class BankedResetState:
+    env_state: Any    # (num_envs, ...) live env states
+    bank_obs: Any     # (bank_size, ...) fresh-reset observations
+    bank_state: Any   # (bank_size, ...) fresh-reset env states
+    cursor: jax.Array  # rotating refresh pointer into the bank
+    tick: jax.Array    # step counter gating the periodic refresh burst
+
+
+class BankedResetVecEnv(Wrapper):
+    """OptimisticResetVecEnv with the worldgen amortized through a rolling
+    reset bank: instead of computing num_envs/reset_ratio fresh resets
+    EVERY step (64/step at the craftax config — measured ~6x the cost of
+    the env step itself for procedural-worldgen envs), the wrapper keeps a
+    bank of pre-generated reset states in the carried env state and serves
+    the per-step reset candidates as cheap gathers from it. Every
+    `refresh_every` steps a lax.cond-gated BURST regenerates num_resets
+    bank rows at once — bursts, not a per-step trickle, because worldgen
+    cost is dominated by kernel-launch overhead, not batch size (measured:
+    4 worldgens cost ~as much as 64), so only skipping the whole program
+    on most steps actually wins.
+
+    Semantics: done envs receive distinct fresh worlds exactly like the
+    optimistic wrapper (same `p=done` weighted routing,
+    craftax_wrappers.py:125-131); the difference is only HOW fresh the
+    candidate worlds are — bank rows are at most
+    ~bank_size/num_resets*refresh_every steps old instead of 0. World
+    diversity is num_resets/refresh_every fresh worlds per step (vs
+    num_resets), still millions of distinct worlds per 1e9-step run.
+    A non-parity, opt-in fast path (config RESET_BANK > 0), like
+    FUSED_ROLLOUT: learning equivalence is verified empirically
+    (tests/test_reset_bank.py, bench learning notes)."""
+
+    def __init__(
+        self,
+        env: Environment,
+        num_envs: int,
+        reset_ratio: int,
+        bank_size: int = 256,
+        refresh_every: int = 16,
+    ):
+        super().__init__(env)
+        assert num_envs % reset_ratio == 0
+        self.num_envs = num_envs
+        self.num_resets = num_envs // reset_ratio
+        self.bank_size = bank_size
+        self.refresh_every = refresh_every
+
+    def reset(self, key, params=None):
+        key, k_envs, k_bank = jax.random.split(key, 3)
+        keys = jax.random.split(k_envs, self.num_envs)
+        obs, env_state = jax.vmap(self._env.reset_env, in_axes=(0, None))(
+            keys, params
+        )
+        bank_keys = jax.random.split(k_bank, self.bank_size)
+        bank_obs, bank_state = jax.vmap(
+            self._env.reset_env, in_axes=(0, None)
+        )(bank_keys, params)
+        state = BankedResetState(
+            env_state=env_state,
+            bank_obs=bank_obs,
+            bank_state=bank_state,
+            cursor=jnp.asarray(0, jnp.int32),
+            tick=jnp.asarray(0, jnp.int32),
+        )
+        return obs, state
+
+    def step(self, key, state, action, params=None):
+        key, _key = jax.random.split(key)
+        step_keys = jax.random.split(_key, self.num_envs)
+        obs_st, env_st, reward, done, info = jax.vmap(
+            self._env.step_env, in_axes=(0, 0, 0, None)
+        )(step_keys, state.env_state, action, params)
+
+        # refresh burst: every refresh_every steps regenerate num_resets
+        # bank rows at rotating positions; lax.cond skips the whole
+        # worldgen program on other steps
+        key, _key = jax.random.split(key)
+
+        def _refresh(operand):
+            bank_obs, bank_state, cursor = operand
+            fresh_keys = jax.random.split(_key, self.num_resets)
+            fresh_obs, fresh_state = jax.vmap(
+                self._env.reset_env, in_axes=(0, None)
+            )(fresh_keys, params)
+            rows = (cursor + jnp.arange(self.num_resets)) % self.bank_size
+            bank_obs = jax.tree_util.tree_map(
+                lambda b, f: b.at[rows].set(f), bank_obs, fresh_obs
+            )
+            bank_state = jax.tree_util.tree_map(
+                lambda b, f: b.at[rows].set(f), bank_state, fresh_state
+            )
+            return bank_obs, bank_state, cursor + self.num_resets
+
+        bank_obs, bank_state, cursor = jax.lax.cond(
+            state.tick % self.refresh_every == 0,
+            _refresh,
+            lambda op: op,
+            (state.bank_obs, state.bank_state, state.cursor),
+        )
+
+        # serve: num_resets candidates gathered from the bank
+        key, _key = jax.random.split(key)
+        cand = jax.random.randint(
+            _key, (self.num_resets,), 0, self.bank_size
+        )
+        obs_re = jax.tree_util.tree_map(lambda b: b[cand], bank_obs)
+        state_re = jax.tree_util.tree_map(lambda b: b[cand], bank_state)
+
+        # route candidates to done envs — identical weighted routing to
+        # OptimisticResetVecEnv (craftax_wrappers.py:125-131)
+        key, _key = jax.random.split(key)
+        reset_indexes = jnp.arange(self.num_resets).repeat(
+            self.num_envs // self.num_resets
+        )
+        being_reset = jax.random.choice(
+            _key,
+            jnp.arange(self.num_envs),
+            shape=(self.num_resets,),
+            p=done,
+            replace=False,
+        )
+        reset_indexes = reset_indexes.at[being_reset].set(
+            jnp.arange(self.num_resets)
+        )
+        obs_re = jax.tree_util.tree_map(lambda x: x[reset_indexes], obs_re)
+        state_re = jax.tree_util.tree_map(
+            lambda x: x[reset_indexes], state_re
+        )
+
+        def select(re, st):
+            d = done.reshape(done.shape + (1,) * (st.ndim - 1))
+            return jnp.where(d, re, st)
+
+        obs = jax.tree_util.tree_map(select, obs_re, obs_st)
+        env_state = jax.tree_util.tree_map(select, state_re, env_st)
+        new_state = BankedResetState(
+            env_state=env_state,
+            bank_obs=bank_obs,
+            bank_state=bank_state,
+            cursor=cursor % self.bank_size,
+            tick=state.tick + 1,
+        )
+        return obs, new_state, reward, done, info
+
+
+class ScrubNaN(Wrapper):
+    """Zero non-finite rewards and observations at the env boundary (the
+    brax wrapper's NaN scrub, brax_wrappers.py:210-213 — "some envs might
+    produce NaN rewards"). The reference warns through a debug callback;
+    host callbacks are unavailable on some TPU runtimes, so the count of
+    scrubbed values is reported in-graph via info["nan_events"] instead
+    (a metric sink can alert on it; zero on healthy envs)."""
+
+    def reset(self, key, params=None):
+        obs, state = self._env.reset(key, params)
+        obs = jax.tree_util.tree_map(
+            lambda o: jnp.where(jnp.isfinite(o), o, 0.0), obs
+        )
+        return obs, state
+
+    def step(self, key, state, action, params=None):
+        obs, state, reward, done, info = self._env.step(
+            key, state, action, params
+        )
+        bad_r = ~jnp.isfinite(reward)
+        bad_o = jax.tree_util.tree_reduce(
+            lambda acc, o: acc + (~jnp.isfinite(o)).sum(),
+            obs,
+            jnp.asarray(0, jnp.int32),
+        )
+        reward = jnp.where(bad_r, 0.0, reward)
+        obs = jax.tree_util.tree_map(
+            lambda o: jnp.where(jnp.isfinite(o), o, 0.0), obs
+        )
+        info = dict(info)
+        info["nan_events"] = bad_r.sum() + bad_o
+        return obs, state, reward, done, info
+
+
 class ClipAction(Wrapper):
     """Clip continuous actions to [low, high] (brax_wrappers.py:275-290)."""
 

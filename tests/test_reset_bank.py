@@ -1,0 +1,131 @@
+"""RESET_BANK (amortized worldgen) and FAST_TARGETS (out-of-grad TD
+bootstrap) — the opt-in craftax-class fast paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from purejaxql_tpu.core.config import compose
+from purejaxql_tpu.envs import make, wrappers
+from purejaxql_tpu.algo.pqn import make_train
+import pytest
+
+
+def test_banked_reset_semantics():
+    """Done envs receive fresh (time=0) worlds gathered from the bank;
+    live envs are untouched; the refresh burst fires every refresh_every
+    steps rotating num_resets rows."""
+    env, params = make("CartPole-v1")
+    log_env = wrappers.Log(env)
+    wenv = wrappers.BankedResetVecEnv(
+        log_env, num_envs=8, reset_ratio=4, bank_size=16, refresh_every=5
+    )
+    key = jax.random.PRNGKey(0)
+    obs, state = wenv.reset(key, params)
+    assert state.bank_obs.shape[0] == 16
+    assert int(state.cursor) == 0
+
+    # drive until some envs are done; cursor advances by num_resets (2)
+    # on ticks 0, 5, 10, ... (burst at tick % 5 == 0)
+    done_seen = False
+    for t in range(60):
+        acts = jnp.zeros(8, jnp.int32)
+        obs, state, r, done, info = wenv.step(
+            jax.random.fold_in(key, t), state, acts, params
+        )
+        bursts = t // 5 + 1  # tick==t when stepping (0-based, pre-inc)
+        assert int(state.cursor) == (2 * bursts) % 16, (t, int(state.cursor))
+        if bool(done.any()):
+            done_seen = True
+            # a reset env's inner episode clock restarted
+            times = np.asarray(state.env_state.env_state.time)
+            assert (times[np.asarray(done)] == 0).all()
+    assert done_seen
+
+
+def test_reset_bank_trains_and_matches_quality():
+    """The banked trainer runs end-to-end and reaches episode returns in
+    the same band as the optimistic-reset trainer on the same tiny
+    CartPole budget (mechanism equivalence, not bitwise parity)."""
+    base = [
+        "TOTAL_TIMESTEPS=32768", "TOTAL_TIMESTEPS_DECAY=32768",
+        "NUM_ENVS=32", "NUM_STEPS=8", "NUM_MINIBATCHES=2", "NUM_EPOCHS=2",
+        "HIDDEN_SIZE=64", "TEST_DURING_TRAINING=False",
+        "USE_OPTIMISTIC_RESETS=True", "OPTIMISTIC_RESET_RATIO=8",
+        "COLLECT_METRICS=True",
+    ]
+    cfg_opt = compose(alg="pqn_cartpole", overrides=base)
+    cfg_bank = compose(
+        alg="pqn_cartpole",
+        overrides=base + ["RESET_BANK=64", "RESET_BANK_REFRESH_EVERY=4"],
+    )
+    out_o = jax.block_until_ready(
+        jax.jit(make_train(cfg_opt))(jax.random.PRNGKey(0))
+    )
+    out_b = jax.block_until_ready(
+        jax.jit(make_train(cfg_bank))(jax.random.PRNGKey(0))
+    )
+    r_o = np.asarray(out_o["metrics"]["returned_episode_returns"])[-16:].mean()
+    r_b = np.asarray(out_b["metrics"]["returned_episode_returns"])[-16:].mean()
+    assert np.isfinite(r_b)
+    # same learning band (CartPole at this budget reaches ~25-60)
+    assert r_b > 0.5 * r_o, (r_o, r_b)
+
+
+def test_reset_bank_on_forager_smoke():
+    """The banked wrapper composes with the craftax-class env (big state
+    pytrees with per-floor maps) under jit."""
+    cfg = compose(
+        alg="pqn_craftax",
+        overrides=[
+            "TOTAL_TIMESTEPS=256", "TOTAL_TIMESTEPS_DECAY=256",
+            "NUM_ENVS=32", "OPTIMISTIC_RESET_RATIO=8",
+            "RESET_BANK=16", "RESET_BANK_REFRESH_EVERY=4",
+            "HIDDEN_SIZE=64", "NUM_LAYERS=2",
+            "TEST_DURING_TRAINING=False", "COLLECT_METRICS=False",
+        ],
+    )
+    out = jax.block_until_ready(
+        jax.jit(make_train(cfg))(jax.random.PRNGKey(0))
+    )
+    assert int(out["runner_state"][0].timesteps) == 256
+
+
+def test_fast_targets_identical_gradients():
+    """FAST_TARGETS computes the stop-gradient bootstrap outside the grad
+    closure — the resulting training trajectory matches the reference
+    concat formulation to float tolerance (layer_norm => no batch-stats
+    coupling)."""
+    base = [
+        "TOTAL_TIMESTEPS=4096", "TOTAL_TIMESTEPS_DECAY=4096",
+        "NUM_ENVS=16", "NUM_STEPS=8", "NUM_MINIBATCHES=2", "NUM_EPOCHS=1",
+        "HIDDEN_SIZE=64", "TEST_DURING_TRAINING=False",
+        "Q_LAMBDA=False", "LAMBDA=0", "COLLECT_METRICS=False",
+    ]
+    cfg_ref = compose(alg="pqn_cartpole", overrides=base)
+    cfg_fast = compose(
+        alg="pqn_cartpole", overrides=base + ["FAST_TARGETS=True"]
+    )
+    out_r = jax.block_until_ready(
+        jax.jit(make_train(cfg_ref))(jax.random.PRNGKey(3))
+    )
+    out_f = jax.block_until_ready(
+        jax.jit(make_train(cfg_fast))(jax.random.PRNGKey(3))
+    )
+    pr = jax.tree_util.tree_leaves(out_r["runner_state"][0].params)
+    pf = jax.tree_util.tree_leaves(out_f["runner_state"][0].params)
+    for a, b in zip(pr, pf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_fast_targets_rejects_batch_stats_norms():
+    cfg = compose(
+        alg="pqn_cartpole",
+        overrides=[
+            "FAST_TARGETS=True", "NORM_TYPE=batch_norm", "Q_LAMBDA=False",
+        ],
+    )
+    with pytest.raises(ValueError, match="FAST_TARGETS"):
+        make_train(cfg)

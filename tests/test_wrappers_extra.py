@@ -64,3 +64,70 @@ def test_normalize_obs_eval_step_frozen():
     # the training step DOES update stats
     obs, state3, r, d, _ = venv.step(jax.random.PRNGKey(1), state, actions, params)
     assert not np.array_equal(np.asarray(state3.mean), mean_before)
+
+
+def test_scrub_nan_wrapper():
+    """ScrubNaN zeroes non-finite rewards/obs at the env boundary and
+    counts the events in info (brax_wrappers.py:210-213 role)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from purejaxql_tpu.envs import make, wrappers
+
+    env, params = make("Pendulum-v1")
+
+    class PoisonReward(wrappers.Wrapper):
+        def step(self, key, state, action, params=None):
+            obs, state, reward, done, info = self._env.step(
+                key, state, action, params
+            )
+            # poison reward always, and one obs component on odd envs
+            reward = reward * jnp.nan
+            obs = obs.at[..., 0].set(jnp.inf)
+            return obs, state, reward, done, info
+
+    wrapped = wrappers.ScrubNaN(
+        PoisonReward(wrappers.VecEnv(env))
+    )
+    key = jax.random.PRNGKey(0)
+    obs, state = wrapped.reset(jax.random.split(key, 4), params)
+    obs, state, rew, done, info = wrapped.step(
+        jax.random.split(key, 4), state, jnp.zeros((4, 1)), params
+    )
+    assert np.isfinite(np.asarray(obs)).all()
+    assert (np.asarray(rew) == 0.0).all()
+    assert int(info["nan_events"]) == 8  # 4 rewards + 4 obs lanes
+
+    # a healthy env reports zero events
+    clean = wrappers.ScrubNaN(wrappers.VecEnv(env))
+    obs, state = clean.reset(jax.random.split(key, 4), params)
+    obs, state, rew, done, info = clean.step(
+        jax.random.split(key, 4), state, jnp.zeros((4, 1)), params
+    )
+    assert int(info["nan_events"]) == 0
+
+
+def test_ac_trains_with_scrub_nan_default():
+    """The AC trainer composes ScrubNaN by default and still learns-runs."""
+    import jax
+    import numpy as np
+
+    from purejaxql_tpu.core.config import compose
+    from purejaxql_tpu.algo.pqn_ac import make_train
+
+    config = compose(
+        alg="pqn_pendulum",
+        overrides=[
+            "TOTAL_TIMESTEPS=4096", "NUM_ENVS=16", "NUM_STEPS=16",
+            "NUM_MINIBATCHES=2", "NUM_EPOCHS=1",
+            "ACTOR_HIDDEN_SIZES=[32,32]", "CRITIC_HIDDEN_SIZES=[32,32]",
+            "TEST_DURING_TRAINING=False",
+        ],
+    )
+    outs = jax.block_until_ready(
+        jax.jit(jax.vmap(make_train(config)))(
+            jax.random.split(jax.random.PRNGKey(0), 1)
+        )
+    )
+    assert np.isfinite(np.asarray(outs["metrics"]["value_loss"])).all()
