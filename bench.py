@@ -152,6 +152,21 @@ WORKLOADS = {
         total=int(1e6),
         family="pqn_ac",
     ),
+    # recurrent and MARL family rows (detail only, no reference
+    # wall-time): the memory-window RNN trainer on CartPole and the
+    # VDN-RNN trainer on Spread at their shipped configs.
+    "rnn_cartpole": dict(
+        alg="pqn_rnn_cartpole",
+        overrides=["COLLECT_METRICS=False", "TEST_DURING_TRAINING=False"],
+        total=int(5e5),
+        family="pqn_rnn",
+    ),
+    "vdn_spread": dict(
+        alg="pqn_vdn_spread",
+        overrides=["COLLECT_METRICS=False", "TEST_DURING_TRAINING=False"],
+        total=int(1e6),
+        family="pqn_vdn",
+    ),
     "pendulum_ac_fused": dict(
         alg="pqn_pendulum",
         overrides=["COLLECT_METRICS=False", "FUSED_ROLLOUT=True"],
@@ -201,6 +216,14 @@ def run_workload(name: str) -> float:
 
         # AC runner_state[0] is a {"actor", "critic"} TrainState dict
         force = lambda o: np.asarray(o["runner_state"][0]["actor"].timesteps)
+    elif spec.get("family") == "pqn_rnn":
+        from purejaxql_tpu.algo.pqn_rnn import make_train as train_factory
+
+        force = lambda o: np.asarray(o["runner_state"][0].timesteps)
+    elif spec.get("family") == "pqn_vdn":
+        from purejaxql_tpu.algo.pqn_vdn import make_train as train_factory
+
+        force = lambda o: np.asarray(o["runner_state"][0].timesteps)
     else:
         train_factory = make_train
         force = lambda o: np.asarray(o["runner_state"][0].timesteps)

@@ -44,8 +44,16 @@ def _load_library() -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     # make is a no-op when the .so is fresher than the sources, so always
-    # invoking it keeps the library in sync with checked-out code
-    subprocess.run(["make", "-C", _CPP_DIR], check=True, capture_output=True)
+    # invoking it keeps the library in sync with checked-out code; the
+    # flock serializes concurrent builders (pytest-xdist workers)
+    import fcntl
+
+    os.makedirs(os.path.join(_CPP_DIR, "build"), exist_ok=True)
+    with open(os.path.join(_CPP_DIR, "build", ".lock"), "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        subprocess.run(
+            ["make", "-C", _CPP_DIR], check=True, capture_output=True
+        )
     lib = ctypes.CDLL(_LIB_PATH)
     lib.eh_make.restype = ctypes.c_void_p
     lib.eh_make.argtypes = [
