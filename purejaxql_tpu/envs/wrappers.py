@@ -415,17 +415,22 @@ class ScrubNaN(Wrapper):
             key, state, action, params
         )
         bad_r = ~jnp.isfinite(reward)
+        # per-env counts (same shape as reward) so the info entry
+        # broadcasts against done-masked (T, E) metric aggregation
         bad_o = jax.tree_util.tree_reduce(
-            lambda acc, o: acc + (~jnp.isfinite(o)).sum(),
+            lambda acc, o: acc
+            + (~jnp.isfinite(o))
+            .reshape(jnp.shape(reward) + (-1,))
+            .sum(axis=-1),
             obs,
-            jnp.asarray(0, jnp.int32),
+            jnp.zeros(jnp.shape(reward), jnp.int32),
         )
         reward = jnp.where(bad_r, 0.0, reward)
         obs = jax.tree_util.tree_map(
             lambda o: jnp.where(jnp.isfinite(o), o, 0.0), obs
         )
         info = dict(info)
-        info["nan_events"] = bad_r.sum() + bad_o
+        info["nan_events"] = bad_r.astype(jnp.int32) + bad_o
         return obs, state, reward, done, info
 
 

@@ -97,7 +97,10 @@ def test_scrub_nan_wrapper():
     )
     assert np.isfinite(np.asarray(obs)).all()
     assert (np.asarray(rew) == 0.0).all()
-    assert int(info["nan_events"]) == 8  # 4 rewards + 4 obs lanes
+    # per-env counts (shape matches reward so (T, E) done-masked metric
+    # aggregation broadcasts): 1 reward + 1 obs lane per env
+    assert np.asarray(info["nan_events"]).shape == np.asarray(rew).shape
+    assert int(np.asarray(info["nan_events"]).sum()) == 8
 
     # a healthy env reports zero events
     clean = wrappers.ScrubNaN(wrappers.VecEnv(env))
@@ -105,7 +108,7 @@ def test_scrub_nan_wrapper():
     obs, state, rew, done, info = clean.step(
         jax.random.split(key, 4), state, jnp.zeros((4, 1)), params
     )
-    assert int(info["nan_events"]) == 0
+    assert int(np.asarray(info["nan_events"]).sum()) == 0
 
 
 def test_ac_trains_with_scrub_nan_default():
