@@ -549,9 +549,22 @@ def make_train(
                     )
                     return (train_state, rng), (loss, qvals)
 
+                # With ONE minibatch the shared-key permutation only
+                # reorders rows within the single batch: gradients are
+                # order-invariant up to float summation order, so the
+                # fast path drops the ~8 per-leaf gather kernels (incl.
+                # two obs-sized ones). RNG consumption is unchanged (the
+                # split below still happens), so the random stream stays
+                # identical; parity configs keep the gather for bitwise
+                # reduction-order identity with pqn_gymnax.py:293-309.
+                skip_noop_permute = config["NUM_MINIBATCHES"] == 1 and config.get(
+                    "SKIP_NOOP_PERMUTE", fast_targets
+                )
+
                 def preprocess_transition(x, rng):
                     x = x.reshape(-1, *x.shape[2:])
-                    x = jax.random.permutation(rng, x)
+                    if not skip_noop_permute:
+                        x = jax.random.permutation(rng, x)
                     return x.reshape(config["NUM_MINIBATCHES"], -1, *x.shape[1:])
 
                 rng, _rng = jax.random.split(rng)

@@ -249,11 +249,83 @@ class OptimisticResetVecEnv(Wrapper):
         return obs, state, reward, done, info
 
 
+def _pack_rows(tree):
+    """Flatten a pytree of (N, ...) arrays into TWO row-major buffers:
+    (N, n8) int8 for 1-byte leaves and (N, n32) int32 for 4-byte leaves
+    (floats bitcast — exact round trip). The reset bank lives packed so
+    the per-step serve is 2 gathers instead of one per leaf: at 1024
+    craftax-class envs the ~30 per-leaf (64,)-row gathers were each
+    their own kernel dispatch, a measurable slice of a dispatch-bound
+    env step."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    n = leaves[0].shape[0]
+    g8, g32 = [], []
+    for x in leaves:
+        flat = x.reshape(n, -1)
+        if x.dtype == jnp.bool_:
+            g8.append(flat.astype(jnp.int8))
+        elif x.dtype.itemsize == 1:
+            g8.append(jax.lax.bitcast_convert_type(flat, jnp.int8))
+        elif x.dtype.itemsize == 4:
+            if x.dtype == jnp.int32:
+                g32.append(flat)
+            else:
+                g32.append(jax.lax.bitcast_convert_type(flat, jnp.int32))
+        else:
+            raise NotImplementedError(
+                f"packed reset bank supports 1/4-byte leaves, got {x.dtype}"
+            )
+    w8 = (
+        jnp.concatenate(g8, axis=1)
+        if g8
+        else jnp.zeros((n, 0), jnp.int8)
+    )
+    w32 = (
+        jnp.concatenate(g32, axis=1)
+        if g32
+        else jnp.zeros((n, 0), jnp.int32)
+    )
+    return w8, w32
+
+
+def _unpack_rows(w8, w32, like):
+    """Inverse of `_pack_rows`: rebuild a pytree with `like`'s structure,
+    leaf shapes/dtypes, and leading dim = the buffers' row count."""
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    n = w8.shape[0] if w8.size or not w32.size else w32.shape[0]
+    o8 = o32 = 0
+    out = []
+    for x in leaves:
+        tail = x.shape[1:]
+        sz = 1
+        for d in tail:
+            sz *= d
+        if x.dtype == jnp.bool_:
+            seg = w8[:, o8 : o8 + sz]
+            o8 += sz
+            out.append(seg.astype(jnp.bool_).reshape((n,) + tail))
+        elif x.dtype.itemsize == 1:
+            seg = w8[:, o8 : o8 + sz]
+            o8 += sz
+            out.append(
+                jax.lax.bitcast_convert_type(seg, x.dtype).reshape(
+                    (n,) + tail
+                )
+            )
+        else:
+            seg = w32[:, o32 : o32 + sz]
+            o32 += sz
+            if x.dtype != jnp.int32:
+                seg = jax.lax.bitcast_convert_type(seg, x.dtype)
+            out.append(seg.reshape((n,) + tail))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 @struct.dataclass
 class BankedResetState:
     env_state: Any    # (num_envs, ...) live env states
-    bank_obs: Any     # (bank_size, ...) fresh-reset observations
-    bank_state: Any   # (bank_size, ...) fresh-reset env states
+    bank_w8: jax.Array   # (bank_size, n8) packed 1-byte bank columns
+    bank_w32: jax.Array  # (bank_size, n32) packed 4-byte bank columns
     cursor: jax.Array  # rotating refresh pointer into the bank
     tick: jax.Array    # step counter gating the periodic refresh burst
 
@@ -304,13 +376,14 @@ class BankedResetVecEnv(Wrapper):
             keys, params
         )
         bank_keys = jax.random.split(k_bank, self.bank_size)
-        bank_obs, bank_state = jax.vmap(
-            self._env.reset_env, in_axes=(0, None)
-        )(bank_keys, params)
+        bank = jax.vmap(self._env.reset_env, in_axes=(0, None))(
+            bank_keys, params
+        )
+        bank_w8, bank_w32 = _pack_rows(bank)
         state = BankedResetState(
             env_state=env_state,
-            bank_obs=bank_obs,
-            bank_state=bank_state,
+            bank_w8=bank_w8,
+            bank_w32=bank_w32,
             cursor=jnp.asarray(0, jnp.int32),
             tick=jnp.asarray(0, jnp.int32),
         )
@@ -329,25 +402,24 @@ class BankedResetVecEnv(Wrapper):
         key, _key = jax.random.split(key)
 
         def _refresh(operand):
-            bank_obs, bank_state, cursor = operand
+            bank_w8, bank_w32, cursor = operand
             fresh_keys = jax.random.split(_key, self.num_resets)
-            fresh_obs, fresh_state = jax.vmap(
-                self._env.reset_env, in_axes=(0, None)
-            )(fresh_keys, params)
+            fresh = jax.vmap(self._env.reset_env, in_axes=(0, None))(
+                fresh_keys, params
+            )
+            f8, f32 = _pack_rows(fresh)
             rows = (cursor + jnp.arange(self.num_resets)) % self.bank_size
-            bank_obs = jax.tree_util.tree_map(
-                lambda b, f: b.at[rows].set(f), bank_obs, fresh_obs
+            return (
+                bank_w8.at[rows].set(f8),
+                bank_w32.at[rows].set(f32),
+                cursor + self.num_resets,
             )
-            bank_state = jax.tree_util.tree_map(
-                lambda b, f: b.at[rows].set(f), bank_state, fresh_state
-            )
-            return bank_obs, bank_state, cursor + self.num_resets
 
-        bank_obs, bank_state, cursor = jax.lax.cond(
+        bank_w8, bank_w32, cursor = jax.lax.cond(
             state.tick % self.refresh_every == 0,
             _refresh,
             lambda op: op,
-            (state.bank_obs, state.bank_state, state.cursor),
+            (state.bank_w8, state.bank_w32, state.cursor),
         )
 
         # serve: num_resets candidates gathered from the bank
@@ -355,8 +427,6 @@ class BankedResetVecEnv(Wrapper):
         cand = jax.random.randint(
             _key, (self.num_resets,), 0, self.bank_size
         )
-        obs_re = jax.tree_util.tree_map(lambda b: b[cand], bank_obs)
-        state_re = jax.tree_util.tree_map(lambda b: b[cand], bank_state)
 
         # route candidates to done envs — identical weighted routing to
         # OptimisticResetVecEnv (craftax_wrappers.py:125-131)
@@ -374,9 +444,12 @@ class BankedResetVecEnv(Wrapper):
         reset_indexes = reset_indexes.at[being_reset].set(
             jnp.arange(self.num_resets)
         )
-        obs_re = jax.tree_util.tree_map(lambda x: x[reset_indexes], obs_re)
-        state_re = jax.tree_util.tree_map(
-            lambda x: x[reset_indexes], state_re
+        # bank[cand][reset_indexes] composed into ONE row gather per
+        # buffer; the per-leaf unpack below is pure slice/bitcast/reshape
+        # that fuses into the done-select consumers
+        rows = cand[reset_indexes]
+        obs_re, state_re = _unpack_rows(
+            bank_w8[rows], bank_w32[rows], (obs_st, env_st)
         )
 
         def select(re, st):
@@ -387,8 +460,8 @@ class BankedResetVecEnv(Wrapper):
         env_state = jax.tree_util.tree_map(select, state_re, env_st)
         new_state = BankedResetState(
             env_state=env_state,
-            bank_obs=bank_obs,
-            bank_state=bank_state,
+            bank_w8=bank_w8,
+            bank_w32=bank_w32,
             cursor=cursor % self.bank_size,
             tick=state.tick + 1,
         )

@@ -22,7 +22,7 @@ def test_banked_reset_semantics():
     )
     key = jax.random.PRNGKey(0)
     obs, state = wenv.reset(key, params)
-    assert state.bank_obs.shape[0] == 16
+    assert state.bank_w32.shape[0] == 16  # packed bank rows = bank_size
     assert int(state.cursor) == 0
 
     # drive until some envs are done; cursor advances by num_resets (2)
@@ -129,3 +129,61 @@ def test_fast_targets_rejects_batch_stats_norms():
     )
     with pytest.raises(ValueError, match="FAST_TARGETS"):
         make_train(cfg)
+
+
+def test_pack_unpack_rows_roundtrip():
+    """The packed-bank flatten is exact for every leaf dtype the env
+    states use (bool, int8, int32, float32 — incl. NaN payloads)."""
+    key = jax.random.PRNGKey(3)
+    tree = {
+        "blocks": jax.random.randint(key, (6, 3, 4), -128, 128).astype(
+            jnp.int8
+        ),
+        "alive": jax.random.bernoulli(key, 0.5, (6, 5)),
+        "inv": jax.random.randint(key, (6, 7), -(2**30), 2**30),
+        "ret": jnp.float32(
+            np.r_[np.nan, np.inf, -0.0, 1e-38, 3.14, -7].reshape(6, 1)
+        )
+        * jnp.ones((6, 4)),
+        "t": jnp.arange(6, dtype=jnp.int32),  # scalar-per-row leaf
+    }
+    w8, w32 = wrappers._pack_rows(tree)
+    assert w8.dtype == jnp.int8 and w32.dtype == jnp.int32
+    out = wrappers._unpack_rows(w8, w32, tree)
+    for k in tree:
+        assert out[k].dtype == tree[k].dtype, k
+        np.testing.assert_array_equal(
+            np.asarray(out[k]).view(np.uint8),
+            np.asarray(tree[k]).view(np.uint8),
+            err_msg=k,
+        )
+
+
+def test_skip_noop_permute_matches_to_float_tolerance():
+    """With NUM_MINIBATCHES=1 the shared-key permutation only reorders
+    rows of the single batch; the fast path drops the gather and must
+    match the permuted run up to float summation order."""
+    base = [
+        "TOTAL_TIMESTEPS=4096", "TOTAL_TIMESTEPS_DECAY=4096",
+        "NUM_ENVS=32", "NUM_STEPS=4", "NUM_MINIBATCHES=1", "NUM_EPOCHS=2",
+        "HIDDEN_SIZE=64", "TEST_DURING_TRAINING=False",
+        "Q_LAMBDA=False", "LAMBDA=0", "COLLECT_METRICS=False",
+        "FAST_TARGETS=True",
+    ]
+    cfg_skip = compose(alg="pqn_cartpole", overrides=base)
+    cfg_keep = compose(
+        alg="pqn_cartpole", overrides=base + ["SKIP_NOOP_PERMUTE=False"]
+    )
+    out_s = jax.block_until_ready(
+        jax.jit(make_train(cfg_skip))(jax.random.PRNGKey(5))
+    )
+    out_k = jax.block_until_ready(
+        jax.jit(make_train(cfg_keep))(jax.random.PRNGKey(5))
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out_s["runner_state"][0].params),
+        jax.tree_util.tree_leaves(out_k["runner_state"][0].params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
