@@ -462,20 +462,24 @@ def make_train(
                         # pqn_craftax.py:292), so computing it OUTSIDE the
                         # grad closure skips the backward pass over the
                         # next_obs half of the concat batch — identical
-                        # gradients, ~1/3 less learn-phase compute.
-                        # Layer-norm only (no batch-stats mutation to
-                        # replicate), enforced at config time below.
-                        q_next_c = jnp.max(
-                            network.apply(
-                                {
-                                    "params": train_state.params,
-                                    "batch_stats": train_state.batch_stats,
-                                },
-                                minibatch.next_obs,
-                                train=False,
-                            ),
-                            axis=-1,
+                        # gradients for layer_norm trunks, ~1/3 less
+                        # learn-phase compute. train=True so an input
+                        # BatchNorm (NORM_INPUT) normalizes next_obs with
+                        # its own fresh batch statistics like the concat
+                        # formulation does — NOT warmup-biased running
+                        # averages (measured on chip: train=False here
+                        # costs real craftax learning); the stats
+                        # mutation is discarded.
+                        q_next_out, _discarded = network.apply(
+                            {
+                                "params": train_state.params,
+                                "batch_stats": train_state.batch_stats,
+                            },
+                            minibatch.next_obs,
+                            train=True,
+                            mutable=["batch_stats"],
                         )
+                        q_next_c = jnp.max(q_next_out, axis=-1)
                         fast_tgt = (
                             minibatch.reward
                             + (1 - minibatch.done)

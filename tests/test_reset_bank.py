@@ -187,3 +187,39 @@ def test_skip_noop_permute_matches_to_float_tolerance():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_fast_targets_with_input_norm_close():
+    """With NORM_INPUT=True the fast bootstrap must normalize next_obs
+    with FRESH batch statistics (train=True, mutation discarded) like the
+    concat formulation — not warmup-biased running averages. Per-half vs
+    union batch moments differ slightly, so the check is a close match,
+    not bitwise."""
+    base = [
+        "TOTAL_TIMESTEPS=4096", "TOTAL_TIMESTEPS_DECAY=4096",
+        "NUM_ENVS=16", "NUM_STEPS=8", "NUM_MINIBATCHES=2", "NUM_EPOCHS=1",
+        "HIDDEN_SIZE=64", "TEST_DURING_TRAINING=False",
+        "Q_LAMBDA=False", "LAMBDA=0", "COLLECT_METRICS=False",
+        "NORM_INPUT=True",
+    ]
+    out_r = jax.block_until_ready(
+        jax.jit(make_train(compose(alg="pqn_cartpole", overrides=base)))(
+            jax.random.PRNGKey(3)
+        )
+    )
+    out_f = jax.block_until_ready(
+        jax.jit(
+            make_train(
+                compose(
+                    alg="pqn_cartpole", overrides=base + ["FAST_TARGETS=True"]
+                )
+            )
+        )(jax.random.PRNGKey(3))
+    )
+    pr = jax.tree_util.tree_leaves(out_r["runner_state"][0].params)
+    pf = jax.tree_util.tree_leaves(out_f["runner_state"][0].params)
+    for a, b in zip(pr, pf):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        # same scale, small drift from per-half vs union input moments
+        np.testing.assert_allclose(a, b, rtol=0.15, atol=0.02)
