@@ -13,8 +13,10 @@ differs from the reference's threefry, with learning verified per game —
 Breakout 23.4 @ 2M, CartPole solves 500/500). The reference-default
 parity-exact configurations are always measured too and reported as
 detail rows (suffix `_parity`); they also serve as the headline fallback
-if a fused row fails. Craftax-class has no fused path; its headline IS
-the parity engine.
+if a fused row fails. Craftax-class has no Pallas mega-kernel (the
+56x56x5 per-env maps rule out the one-hot board trick the MinAtar
+kernels use); its headline is the packed-reset-bank + FAST_TARGETS fast
+path (`craftax_fast`), with the parity engine (`craftax`) as fallback.
 
 vs_baseline compares against the reference's published wall-times on an
 NVIDIA A40 (README.md:25-29): CartPole 5e5 steps in "a few seconds"
@@ -77,6 +79,25 @@ WORKLOADS = {
             "TOTAL_TIMESTEPS=1024000",
             "TOTAL_TIMESTEPS_DECAY=1024000",
             "COLLECT_METRICS=False",
+        ],
+        total=int(1024000),
+    ),
+    # Craftax-class fast path (the headline configuration): optimistic
+    # resets served from the packed rolling bank (RESET_BANK, worldgen
+    # amortized into 1/16-step bursts) + the out-of-grad TD bootstrap
+    # (FAST_TARGETS) + the no-op single-minibatch permutation skip.
+    # Same RNG stream and same weighted done-routing as the parity
+    # config; learning verified on chip (10.24M steps: episode returns
+    # match the default config's band — see BENCH_NOTES in
+    # BENCH_DETAILS.json). Parity `craftax` row is the fallback headline.
+    "craftax_fast": dict(
+        alg="pqn_craftax",
+        overrides=[
+            "TOTAL_TIMESTEPS=1024000",
+            "TOTAL_TIMESTEPS_DECAY=1024000",
+            "COLLECT_METRICS=False",
+            "RESET_BANK=256",
+            "FAST_TARGETS=True",
         ],
         total=int(1024000),
     ),
@@ -181,7 +202,7 @@ WORKLOADS = {
 HEADLINE_GROUPS = {
     "cartpole": ["cartpole_fused", "cartpole_parity"],
     "minatar": ["minatar_fused", "minatar_parity"],
-    "craftax": ["craftax"],
+    "craftax": ["craftax_fast", "craftax"],
 }
 
 
@@ -248,9 +269,31 @@ def run_workload(name: str) -> float:
     return spec["total"] / min(times)
 
 
+# Row order: headline candidates first, parity fallbacks second, detail
+# rows last. The tunneled backend has no persistent compilation cache, so
+# every row pays a 1-4 min compile; BENCH_TIME_BUDGET_S (default 1680 s)
+# bounds the whole run — once spent, remaining DETAIL rows are skipped
+# (they stay recorded from full local runs in the committed
+# BENCH_DETAILS.json history) and the headline geomean still prints.
+_PRIORITY = [
+    "cartpole_fused", "minatar_fused", "craftax_fast",
+    "cartpole_parity", "minatar_parity", "craftax",
+    "minatar_eval8", "pendulum_ac_fused", "cartpole_seeds64",
+    "pendulum_ac", "vdn_spread", "rnn_cartpole", "minatar_bf16",
+]
+_REQUIRED = set(_PRIORITY[:6])  # headline candidates + parity fallbacks
+
+
 def main():
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", 1680))
     details = {}
-    for name in WORKLOADS:
+    order = _PRIORITY + [n for n in WORKLOADS if n not in _PRIORITY]
+    for name in order:
+        if name not in _REQUIRED and time.time() - t_start > budget:
+            details[name] = {"skipped": "time budget"}
+            print(f"# {name}: skipped (time budget)", file=sys.stderr)
+            continue
         try:
             sps = run_workload(name)
         except Exception as e:  # a failed workload shouldn't zero the line
