@@ -182,6 +182,35 @@ class AutoReset(Wrapper):
         return obs, state, reward, done, info
 
 
+def _scatter_resets(done, being_reset, resets, live):
+    """Scatter `num_resets` candidate reset entries onto the done envs.
+
+    O(num_resets) data traffic instead of the reference's O(num_envs)
+    gather-expand + select (craftax_wrappers.py:125-148). When at most
+    num_resets envs are done, this is value-identical to the expansion:
+    EVERY done env is in `being_reset` (weighted sampling without
+    replacement is Gumbel top-k — zero-probability envs rank below all
+    done ones; verified property-style in tests/test_wrappers_extra.py).
+    When MORE envs are done than candidates exist, the extras are
+    DEFERRED: they re-fire `done` on the next step and get routed then
+    (the done-weighted sampling favors them), instead of sharing a
+    candidate world the same step. A lax.cond fallback to the expansion
+    was measured SLOWER than expanding always (the cond forces the full
+    live env-state tree through branch boundaries — ~80 MB of copies per
+    step at the craftax config), so the fast path accepts the deferral;
+    at craftax scale (~3-10 dones/step vs 64 candidates) it never fires.
+
+    resets: pytree with leading dim num_resets; live: leading num_envs.
+    """
+    num_envs = done.shape[0]
+    # non-done picks (arbitrary slots sampled off NaN/zero weights) are
+    # dropped via an out-of-bounds index
+    idx = jnp.where(done[being_reset], being_reset, num_envs)
+    return jax.tree_util.tree_map(
+        lambda st, re: st.at[idx].set(re, mode="drop"), live, resets
+    )
+
+
 class OptimisticResetVecEnv(Wrapper):
     """Batched env with shared resets: computes only num_envs/reset_ratio
     fresh reset states per step and routes them to done envs
@@ -428,12 +457,10 @@ class BankedResetVecEnv(Wrapper):
             _key, (self.num_resets,), 0, self.bank_size
         )
 
-        # route candidates to done envs — identical weighted routing to
-        # OptimisticResetVecEnv (craftax_wrappers.py:125-131)
+        # route candidates to done envs — the same weighted sampling as
+        # OptimisticResetVecEnv (craftax_wrappers.py:125-131), applied as
+        # a scatter (see _scatter_resets for the >num_resets-dones trade)
         key, _key = jax.random.split(key)
-        reset_indexes = jnp.arange(self.num_resets).repeat(
-            self.num_envs // self.num_resets
-        )
         being_reset = jax.random.choice(
             _key,
             jnp.arange(self.num_envs),
@@ -441,23 +468,13 @@ class BankedResetVecEnv(Wrapper):
             p=done,
             replace=False,
         )
-        reset_indexes = reset_indexes.at[being_reset].set(
-            jnp.arange(self.num_resets)
+        # ONE (num_resets,)-row gather per packed buffer, unpacked to the
+        # candidate tree (pure slice/bitcast/reshape), then scattered onto
+        # the done envs (O(num_resets) traffic; see _scatter_resets)
+        cand_tree = _unpack_rows(bank_w8[cand], bank_w32[cand], (obs_st, env_st))
+        obs, env_state = _scatter_resets(
+            done, being_reset, cand_tree, (obs_st, env_st)
         )
-        # bank[cand][reset_indexes] composed into ONE row gather per
-        # buffer; the per-leaf unpack below is pure slice/bitcast/reshape
-        # that fuses into the done-select consumers
-        rows = cand[reset_indexes]
-        obs_re, state_re = _unpack_rows(
-            bank_w8[rows], bank_w32[rows], (obs_st, env_st)
-        )
-
-        def select(re, st):
-            d = done.reshape(done.shape + (1,) * (st.ndim - 1))
-            return jnp.where(d, re, st)
-
-        obs = jax.tree_util.tree_map(select, obs_re, obs_st)
-        env_state = jax.tree_util.tree_map(select, state_re, env_st)
         new_state = BankedResetState(
             env_state=env_state,
             bank_w8=bank_w8,

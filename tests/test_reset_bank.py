@@ -37,9 +37,12 @@ def test_banked_reset_semantics():
         assert int(state.cursor) == (2 * bursts) % 16, (t, int(state.cursor))
         if bool(done.any()):
             done_seen = True
-            # a reset env's inner episode clock restarted
+            # done envs get fresh (time=0) worlds, up to num_resets per
+            # step — extras defer to the next step (_scatter_resets;
+            # synchronized CartPole deaths exceed 2 candidates here)
             times = np.asarray(state.env_state.env_state.time)
-            assert (times[np.asarray(done)] == 0).all()
+            n_fresh = int((times[np.asarray(done)] == 0).sum())
+            assert n_fresh >= min(int(np.asarray(done).sum()), 2)
     assert done_seen
 
 

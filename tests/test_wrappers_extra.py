@@ -134,3 +134,84 @@ def test_ac_trains_with_scrub_nan_default():
         )
     )
     assert np.isfinite(np.asarray(outs["metrics"]["value_loss"])).all()
+
+
+def test_scatter_resets_matches_expand_exactly():
+    """The scatter routing must equal the reference gather-expand +
+    select BIT-EXACTLY whenever done count <= num_resets — it relies on
+    weighted no-replacement sampling always ranking done envs above
+    zero-probability ones. Beyond num_resets dones the extras are
+    deferred (live rows untouched), checked separately below."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from purejaxql_tpu.envs import wrappers
+
+    num_envs, num_resets = 32, 8
+    key = jax.random.PRNGKey(0)
+    live = {
+        "a": jax.random.normal(key, (num_envs, 5)),
+        "b": jax.random.randint(key, (num_envs,), 0, 99),
+    }
+    resets = {
+        "a": jax.random.normal(jax.random.fold_in(key, 1), (num_resets, 5)),
+        "b": jax.random.randint(
+            jax.random.fold_in(key, 2), (num_resets,), 100, 199
+        ),
+    }
+
+    def expand_reference(done, reset_indexes):
+        re_x = jax.tree_util.tree_map(lambda x: x[reset_indexes], resets)
+
+        def select(re, st):
+            d = done.reshape(done.shape + (1,) * (st.ndim - 1))
+            return jnp.where(d, re, st)
+
+        return jax.tree_util.tree_map(select, re_x, live)
+
+    for count in [0, 1, 3, 8, 20, 32]:
+        for trial in range(5):
+            k = jax.random.fold_in(key, count * 10 + trial)
+            perm = jax.random.permutation(k, num_envs)
+            done = jnp.zeros(num_envs, bool).at[perm[:count]].set(True)
+            # exactly the wrappers' routing construction
+            k2 = jax.random.fold_in(k, 7)
+            reset_indexes = jnp.arange(num_resets).repeat(
+                num_envs // num_resets
+            )
+            being_reset = jax.random.choice(
+                k2,
+                jnp.arange(num_envs),
+                shape=(num_resets,),
+                p=done.astype(jnp.float32),
+                replace=False,
+            )
+            reset_indexes = reset_indexes.at[being_reset].set(
+                jnp.arange(num_resets)
+            )
+            got = jax.jit(
+                lambda d, br: wrappers._scatter_resets(
+                    d, br, resets, live
+                )
+            )(done, being_reset)
+            if count <= num_resets:
+                want = expand_reference(done, reset_indexes)
+                for lk in live:
+                    np.testing.assert_array_equal(
+                        np.asarray(got[lk]), np.asarray(want[lk]),
+                        err_msg=f"count={count} trial={trial} leaf={lk}",
+                    )
+            else:
+                # deferral: exactly the num_resets sampled done envs were
+                # reset; every other row (incl. the extra done envs) is
+                # untouched
+                br = np.asarray(being_reset)
+                for lk in live:
+                    g, lv = np.asarray(got[lk]), np.asarray(live[lk])
+                    mask = np.zeros(num_envs, bool)
+                    mask[br] = True
+                    np.testing.assert_array_equal(g[~mask], lv[~mask])
+                    np.testing.assert_array_equal(
+                        g[br], np.asarray(resets[lk])
+                    )
