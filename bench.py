@@ -87,9 +87,10 @@ WORKLOADS = {
     # amortized into 1/16-step bursts) + the out-of-grad TD bootstrap
     # (FAST_TARGETS) + the no-op single-minibatch permutation skip.
     # Same RNG stream and same weighted done-routing as the parity
-    # config; learning verified on chip (10.24M steps: episode returns
-    # match the default config's band — see BENCH_NOTES in
-    # BENCH_DETAILS.json). Parity `craftax` row is the fallback headline.
+    # config; learning verified on chip (10.24M steps x 2 seeds: last-10%
+    # episode returns 3.43/2.79 vs the default config's 3.62/3.05 band —
+    # ROADMAP.md round-3 notes). Parity `craftax` row is the fallback
+    # headline.
     "craftax_fast": dict(
         alg="pqn_craftax",
         overrides=[

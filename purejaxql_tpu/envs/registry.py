@@ -82,6 +82,10 @@ def _populate():
     _REGISTRY["PointMass-v0"] = PointMass
     _REGISTRY["SwimmerSwimmer6-v0"] = Swimmer
 
+    from purejaxql_tpu.envs.classic.cheetah import Cheetah
+
+    _REGISTRY["CheetahRun-v0"] = Cheetah
+
     try:
         from purejaxql_tpu.envs.minatar import (
             MinBreakout,

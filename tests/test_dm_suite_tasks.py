@@ -252,6 +252,7 @@ _NEW_TASKS = [
     "AcrobotSwingupSparse-v0",
     "PointMass-v0",
     "SwimmerSwimmer6-v0",
+    "CheetahRun-v0",
 ]
 
 
@@ -286,7 +287,9 @@ def test_new_tasks_step_under_jit_vmap(env_name):
 
 
 @pytest.mark.parametrize(
-    "env_name", ["PointMass-v0", "SwimmerSwimmer6-v0", "AcrobotSwingup-v0"]
+    "env_name",
+    ["PointMass-v0", "SwimmerSwimmer6-v0", "AcrobotSwingup-v0",
+     "CheetahRun-v0"],
 )
 def test_ac_trains_on_dm_suite_new_envs(env_name):
     config = compose(
@@ -305,3 +308,60 @@ def test_ac_trains_on_dm_suite_new_envs(env_name):
         )
     )
     assert np.isfinite(np.asarray(outs["metrics"]["value_loss"])).all()
+
+
+# ---------------------------------------------------------------- cheetah
+
+
+def _gallop(policy, steps=300, seed=0):
+    env, params = make("CheetahRun-v0")
+    obs, state = env.reset(jax.random.PRNGKey(seed), params)
+
+    def body(carry, t):
+        state = carry
+        _, state, r, d, _ = env.step(
+            jax.random.PRNGKey(0), state, policy(t), params
+        )
+        return state, (state.x, state.pitch, r, d)
+
+    state, outs = jax.lax.scan(body, state, jnp.arange(steps))
+    return tuple(np.asarray(o) for o in outs)
+
+
+def test_cheetah_rear_planted_feet_propel_forward():
+    """SLIP propulsion: planting feet BEHIND the hips (negative touchdown
+    angle) makes the stance springs push forward — sustained fast
+    forward motion without falling; planting them ahead brakes."""
+    back = lambda t: jnp.concatenate(
+        [jnp.full(4, -0.5), jnp.full(4, 0.9)]
+    )
+    xs_b, pitch_b, r_b, d_b = _gallop(back, steps=200)
+    assert xs_b[-1] > 5.0, xs_b[-1]
+    assert d_b.sum() == 0  # never fell
+    fwd = lambda t: jnp.concatenate([jnp.full(4, 0.5), jnp.full(4, 0.9)])
+    xs_f, *_ = _gallop(fwd, steps=200)
+    assert xs_b[-1] > xs_f[-1] + 3.0, (xs_b[-1], xs_f[-1])
+
+
+def test_cheetah_fore_only_thrust_pitches_the_body():
+    """The rigid-body ingredient the Walker lacks: thrusting ONLY the
+    fore pair torques the torso (nose up), while symmetric thrust keeps
+    pitch near zero. Forces act at the hips, not the COM."""
+    fore_only = lambda t: jnp.concatenate(
+        [jnp.zeros(4), jnp.array([1.0, 1.0, 0.0, 0.0])]
+    )
+    sym = lambda t: jnp.concatenate([jnp.zeros(4), jnp.full(4, 0.5)])
+    _, pitch_fore, _, _ = _gallop(fore_only, steps=60)
+    _, pitch_sym, _, _ = _gallop(sym, steps=60)
+    assert np.abs(pitch_fore).max() > 3.0 * max(
+        np.abs(pitch_sym).max(), 1e-3
+    ), (np.abs(pitch_fore).max(), np.abs(pitch_sym).max())
+
+
+def test_cheetah_somersault_terminates():
+    """|pitch| beyond the limit ends the episode (a tumbling cheetah has
+    fallen), and the reward carries the fall penalty."""
+    env, params = make("CheetahRun-v0")
+    obs, state = env.reset(jax.random.PRNGKey(0), params)
+    state = state.replace(pitch=jnp.asarray(1.2))
+    assert bool(env.is_terminal(state, params))
