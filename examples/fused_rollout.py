@@ -3,8 +3,11 @@
 Any MinAtar game or CartPole can run its entire NUM_STEPS rollout — env
 dynamics, network forward, eps-greedy exploration, auto-resets — inside a
 single Pallas kernel per update (ops/pallas_rollout.py). Measured on one
-v5e chip at the reference configs: Asterix 2.33x end-to-end, Breakout
-+44%, SpaceInvaders +53%, Freeway +35%, CartPole +33%.
+v5e chip at the reference configs: Asterix 2.33x end-to-end, Seaquest
+3.28x (569k vs 174k), SpaceInvaders +53%, Freeway +35%; with the fused
+in-graph eval, Breakout reaches 1.19M and CartPole 1.25M env-steps/s
+(~3x their parity rows). Learning is verified per game (e.g. fused
+Seaquest 0.02 -> 10.0 test return at 2M steps).
 
 The trade: exploration/reset randomness comes from the TPU's hardware
 PRNG instead of the reference's threefry split discipline — same
