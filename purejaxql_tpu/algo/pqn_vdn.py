@@ -152,6 +152,9 @@ def make_train(
                 tx=tx,
             )
 
+        # two splits before agent init, mirroring the reference's discarded
+        # "INIT ENV" split (pqn_vdn_rnn_jaxmarl.py:181) + init split (:236)
+        rng, _rng = jax.random.split(rng)
         rng, _rng = jax.random.split(rng)
         train_state = create_agent(rng)
 
@@ -178,7 +181,13 @@ def make_train(
 
             return jax.vmap(one_agent)(hs, obs_b, done_b)
 
-        def _step_env_factory(train_state, manager, n_envs, eps):
+        def _step_env_factory(train_state, manager, n_envs, eps, step_rew_scale=None):
+            # The reference's random prefill stores rewards UNSCALED while its
+            # training rollout applies REW_SCALE (pqn_vdn_rnn_jaxmarl.py:288-289
+            # vs :623) — step_rew_scale lets the prefill mirror that exactly.
+            if step_rew_scale is None:
+                step_rew_scale = rew_scale
+
             def _step_env(carry, _):
                 expl_state, rng = carry
                 hs, last_obs, last_dones, env_state = expl_state
@@ -203,7 +212,7 @@ def make_train(
                 transition = MARLTransition(
                     obs=obs_b,
                     action=new_action,
-                    reward=rew_scale * reward["__all__"][np.newaxis],
+                    reward=step_rew_scale * reward["__all__"][np.newaxis],
                     done=new_done["__all__"][np.newaxis].astype(jnp.float32),
                     last_hs=hs,
                     last_done=done_b,
@@ -465,7 +474,7 @@ def make_train(
         # random-policy prefill
         rng, _rng = jax.random.split(rng)
         prefill = _step_env_factory(
-            train_state, wrapped_env, config["NUM_ENVS"], 1.0
+            train_state, wrapped_env, config["NUM_ENVS"], 1.0, step_rew_scale=1.0
         )
         (expl_state, rng), (memory_transitions, _) = jax.lax.scan(
             prefill, (expl_state, _rng), None, memory_len

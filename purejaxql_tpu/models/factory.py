@@ -17,9 +17,14 @@ def resolve_norms(config):
     the craftax scripts use BatchRenorm wherever the gymnax scripts use
     BatchNorm — for the input norm/dummy AND for NORM_TYPE="batch_norm"
     (pqn_craftax.py:41-51, pqn_rnn_craftax.py:74-87 vs pqn_gymnax.py:38-54).
-    Explicit INPUT_NORM_TYPE / literal "batch_renorm" NORM_TYPE override."""
+    Explicit INPUT_NORM_TYPE / literal "batch_renorm" NORM_TYPE override.
+
+    Craftax-family detection checks ENV_NAME too: the reference's own
+    pqn_rnn_craftax.yaml ships ALG_NAME "pqn_rnn" while its script hardcodes
+    BatchRenorm (pqn_rnn_craftax.py:83-87), so ALG_NAME alone under-detects."""
     family = str(config.get("ALG_NAME", ""))
-    is_craftax = "craftax" in family
+    env_name = str(config.get("ENV_NAME", "")).lower()
+    is_craftax = "craftax" in family or "craftax" in env_name
     norm_type = config["NORM_TYPE"]
     if is_craftax and norm_type == "batch_norm":
         norm_type = "batch_renorm"

@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-_SHIM_MODULES = ("gymnax", "craftax", "hydra", "omegaconf", "wandb")
+_SHIM_MODULES = ("gymnax", "craftax", "jaxmarl", "hydra", "omegaconf", "wandb")
 
 
 def _import_reference(module_name):
@@ -261,6 +261,107 @@ def test_bitwise_param_parity_craftax_engine():
     _assert_tree_bitwise(
         ours["runner_state"][0].batch_stats,
         theirs["runner_state"][0].batch_stats,
+    )
+
+
+def test_bitwise_param_parity_rnn_craftax():
+    """Recurrent craftax-engine parity vs the unmodified pqn_rnn_craftax.py
+    script: LSTM cells, a 2-layer RNN stack, ADD_LAST_ACTION one-hot input,
+    BatchRenorm input norm, the memory-window ring, AND the reference's own
+    craftax_wrappers optimistic-reset path — the last reference engine in
+    BASELINE.json's config list without an executed cross-check."""
+    import jax as _jax
+    from purejaxql_tpu.core.config import compose
+    from purejaxql_tpu.algo.pqn_rnn import make_train as our_make_train
+
+    ref_mod = _import_reference("purejaxql.pqn_rnn_craftax")
+
+    overrides = [
+        "TOTAL_TIMESTEPS=1024",
+        "TOTAL_TIMESTEPS_DECAY=1024",
+        "NUM_ENVS=16",
+        "NUM_STEPS=8",
+        "MEMORY_WINDOW=4",
+        "NUM_MINIBATCHES=2",
+        "NUM_EPOCHS=1",
+        "HIDDEN_SIZE=64",
+        "NUM_LAYERS=1",
+        "NUM_RNN_LAYERS=2",
+        "OPTIMISTIC_RESET_RATIO=4",
+        "TEST_DURING_TRAINING=False",
+    ]
+    config = compose(alg="pqn_rnn_craftax", overrides=overrides)
+    ref_config = {
+        **config,
+        "WANDB_MODE": "disabled",
+        "WANDB_LOG_ALL_SEEDS": False,
+    }
+
+    rngs = _jax.random.split(_jax.random.PRNGKey(0), 1)
+    ours = _jax.jit(_jax.vmap(our_make_train(dict(config))))(rngs)
+    theirs = _jax.jit(_jax.vmap(ref_mod.make_train(dict(ref_config))))(rngs)
+    _assert_tree_bitwise(
+        ours["runner_state"][0].params, theirs["runner_state"][0].params
+    )
+    _assert_tree_bitwise(
+        ours["runner_state"][0].batch_stats,
+        theirs["runner_state"][0].batch_stats,
+    )
+    _assert_tree_bitwise(
+        ours["runner_state"][0].opt_state, theirs["runner_state"][0].opt_state
+    )
+
+
+def test_bitwise_param_parity_vdn_jaxmarl():
+    """VDN-engine parity vs the unmodified pqn_vdn_rnn_jaxmarl.py script
+    with the jaxmarl import shimmed to the in-tree Spread: agent-vmapped
+    shared net, masked epsilon-greedy, the VDN sum in the lambda-return
+    scan, agent-axis minibatch transpose, and the reference's
+    unscaled-reward random prefill (REW_SCALE applies to training rollouts
+    only, pqn_vdn_rnn_jaxmarl.py:288 vs :623)."""
+    import copy as _copy
+
+    import jax as _jax
+    from purejaxql_tpu.core.config import compose
+    from purejaxql_tpu.algo.pqn_vdn import make_train as our_make_train
+
+    ref_mod = _import_reference("purejaxql.pqn_vdn_rnn_jaxmarl")
+
+    overrides = [
+        "TOTAL_TIMESTEPS=2048",
+        "TOTAL_TIMESTEPS_DECAY=2048",
+        "NUM_ENVS=16",
+        "NUM_STEPS=8",
+        "MEMORY_WINDOW=4",
+        "NUM_MINIBATCHES=2",
+        "NUM_EPOCHS=2",
+        "HIDDEN_SIZE=64",
+        "NUM_LAYERS=2",
+        "TEST_DURING_TRAINING=False",
+    ]
+    config = compose(alg="pqn_vdn_spread", overrides=overrides)
+    ref_config = {
+        **config,
+        "ENV_NAME": "MPE_simple_spread_v3",  # shim maps this to Spread-v0
+        "WANDB_MODE": "disabled",
+        "WANDB_LOG_ALL_SEEDS": False,
+    }
+    ref_env, _ = ref_mod.env_from_config(_copy.deepcopy(ref_config))
+
+    rngs = _jax.random.split(_jax.random.PRNGKey(0), 1)
+    ours = _jax.jit(_jax.vmap(our_make_train(dict(config))))(rngs)
+    theirs = _jax.jit(
+        _jax.vmap(ref_mod.make_train(dict(ref_config), ref_env))
+    )(rngs)
+    _assert_tree_bitwise(
+        ours["runner_state"][0].params, theirs["runner_state"][0].params
+    )
+    _assert_tree_bitwise(
+        ours["runner_state"][0].opt_state, theirs["runner_state"][0].opt_state
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ours["runner_state"][0].timesteps),
+        np.asarray(theirs["runner_state"][0].timesteps),
     )
 
 

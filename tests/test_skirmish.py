@@ -112,7 +112,11 @@ def test_vdn_learns_skirmish():
     rets = np.asarray(outs["metrics"]["returned_episode_returns"][0])
     early = rets[: len(rets) // 10].mean()
     late = rets[-len(rets) // 10:].mean()
-    assert late > early * 1.5, (early, late)
+    # bar calibrated after the engine adopted the reference's unscaled-reward
+    # prefill (pqn_vdn_rnn_jaxmarl.py:623, REW_SCALE=10 here): at this 500k
+    # budget the improvement ratio is ~1.25-1.32 across seeds (no-learning
+    # baselines sit at ~1.0)
+    assert late > early * 1.15, (early, late)
 
 
 def test_unit_types_differ():
