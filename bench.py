@@ -183,6 +183,66 @@ WORKLOADS = {
         total=int(5e5),
         family="pqn_rnn",
     ),
+    # RNN fast path: hoisted-projection BPTT (ops/fast_rnn.py) — the learn
+    # phase's per-step input GEMMs fused into one window-wide GEMM per
+    # layer. Numerically equivalent to the flax path (tests/test_fast_rnn);
+    # learning verified on chip (CartPole test return 500/500 at the full
+    # 5e5 config).
+    "rnn_cartpole_fast": dict(
+        alg="pqn_rnn_cartpole",
+        overrides=[
+            "COLLECT_METRICS=False",
+            "TEST_DURING_TRAINING=False",
+            "FAST_BPTT=True",
+        ],
+        total=int(5e5),
+        family="pqn_rnn",
+    ),
+    # The reference's flagship recurrent config (pqn_rnn_craftax.yaml:
+    # 1024 envs x 128 steps, LSTM), cut to 20 updates; decay horizon kept
+    # at the 1e9 reference so schedules match the real run's early phase.
+    "rnn_craftax": dict(
+        alg="pqn_rnn_craftax",
+        overrides=[
+            "TOTAL_TIMESTEPS=2621440",
+            "TOTAL_TIMESTEPS_DECAY=1000000000",
+            "COLLECT_METRICS=False",
+        ],
+        total=int(2621440),
+        family="pqn_rnn",
+    ),
+    "rnn_craftax_fast": dict(
+        alg="pqn_rnn_craftax",
+        overrides=[
+            "TOTAL_TIMESTEPS=2621440",
+            "TOTAL_TIMESTEPS_DECAY=1000000000",
+            "COLLECT_METRICS=False",
+            "RESET_BANK=256",
+            "FAST_BPTT=True",
+        ],
+        total=int(2621440),
+        family="pqn_rnn",
+    ),
+    # Pallas GRU-BPTT kernels (fwd+bwd each ONE kernel per grad step):
+    # 219k steps/s steady-state (2.9x the flax path) — but the tunneled
+    # runtime pays a measured ~160 ms one-time cost per pallas grad-step
+    # invocation on a program's FIRST run (~0.1 s x updates x minibatches
+    # x epochs), so this row uses a 40-update slice and sits last in
+    # priority (normally budget-skipped; numbers recorded from full local
+    # runs). On a non-tunneled TPU the warmup pathology does not apply.
+    "rnn_cartpole_pallas": dict(
+        alg="pqn_rnn_cartpole",
+        overrides=[
+            "TOTAL_TIMESTEPS=81920",
+            "TOTAL_TIMESTEPS_DECAY=500000",
+            "COLLECT_METRICS=False",
+            "TEST_DURING_TRAINING=False",
+            "FAST_BPTT=True",
+            "PALLAS_BPTT=True",
+        ],
+        total=int(81920),
+        family="pqn_rnn",
+    ),
     "vdn_spread": dict(
         alg="pqn_vdn_spread",
         overrides=["COLLECT_METRICS=False", "TEST_DURING_TRAINING=False"],
@@ -279,8 +339,10 @@ def run_workload(name: str) -> float:
 _PRIORITY = [
     "cartpole_fused", "minatar_fused", "craftax_fast",
     "cartpole_parity", "minatar_parity", "craftax",
+    "rnn_cartpole_fast", "rnn_craftax_fast", "rnn_craftax",
     "minatar_eval8", "pendulum_ac_fused", "cartpole_seeds64",
     "pendulum_ac", "vdn_spread", "rnn_cartpole", "minatar_bf16",
+    "rnn_cartpole_pallas",
 ]
 _REQUIRED = set(_PRIORITY[:6])  # headline candidates + parity fallbacks
 

@@ -102,6 +102,19 @@ def make_train(
         add_last_action=False,
         dueling=config.get("DUELING", False),
     )
+    use_fast_bptt = config.get("FAST_BPTT", False)
+    if use_fast_bptt:
+        from purejaxql_tpu.ops.fast_rnn import (
+            fast_rnn_train_forward,
+            supports_fast_bptt,
+        )
+
+        if not supports_fast_bptt(config):
+            raise ValueError(
+                "FAST_BPTT supports the GRU + layer_norm trunk family "
+                "(RNN_CELL=gru, NORM_TYPE=layer_norm, no dueling) — see "
+                "ops/fast_rnn.py"
+            )
     rew_scale = config.get("REW_SCALE", 1.0)
     timestep_scale = config.get("TIMESTEP_SCALE", 1)
     metric_callback = logger.make_callback() if logger is not None else None
@@ -302,18 +315,41 @@ def make_train(
                         return jnp.concatenate([targets, lam_ret[np.newaxis]])
 
                     def _loss_fn(params):
-                        (_, q_vals), updates = partial(
-                            network.apply, train=True, mutable=["batch_stats"]
-                        )(
-                            {
-                                "params": params,
-                                "batch_stats": train_state.batch_stats,
-                            },
-                            hs0,
-                            agent_in[0],
-                            agent_in[1],
-                            jnp.zeros(agent_in[1].shape, jnp.int32),
-                        )
+                        if use_fast_bptt:
+                            # hoisted-projection BPTT forward
+                            # (ops/fast_rnn.py), same contract as
+                            # network.apply on the (agents*batch) flat axis
+                            _, q_vals, new_bs = fast_rnn_train_forward(
+                                params,
+                                train_state.batch_stats,
+                                hs0,
+                                agent_in[0],
+                                agent_in[1],
+                                jnp.zeros(agent_in[1].shape, jnp.int32),
+                                num_layers=config.get("NUM_LAYERS", 2),
+                                num_rnn_layers=config.get(
+                                    "NUM_RNN_LAYERS", 1
+                                ),
+                                action_dim=action_dim,
+                                add_last_action=False,
+                                norm_input=config.get("NORM_INPUT", False),
+                                pallas=config.get("PALLAS_BPTT", False),
+                            )
+                            updates = {"batch_stats": new_bs}
+                        else:
+                            (_, q_vals), updates = partial(
+                                network.apply, train=True,
+                                mutable=["batch_stats"],
+                            )(
+                                {
+                                    "params": params,
+                                    "batch_stats": train_state.batch_stats,
+                                },
+                                hs0,
+                                agent_in[0],
+                                agent_in[1],
+                                jnp.zeros(agent_in[1].shape, jnp.int32),
+                            )
                         q_vals = q_vals.reshape(
                             q_vals.shape[0], num_agents, -1, q_vals.shape[-1]
                         )

@@ -40,6 +40,9 @@ class ScannedRNN(nn.Module):
         in_axes=0,
         out_axes=0,
         split_rngs={"params": False},
+        # note: unroll>1 here was measured a dead end on the tunneled TPU —
+        # runtime unchanged (the cost is per-step kernel dispatch, not loop
+        # bookkeeping) and compile time exploded ~10x. Don't retry.
     )
     @nn.compact
     def __call__(self, carry, x):
