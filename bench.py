@@ -18,11 +18,20 @@ if a fused row fails. Craftax-class has no Pallas mega-kernel (the
 kernels use); its headline is the packed-reset-bank + FAST_TARGETS fast
 path (`craftax_fast`), with the parity engine (`craftax`) as fallback.
 
-vs_baseline compares against the reference's published wall-times on an
-NVIDIA A40 (README.md:25-29): CartPole 5e5 steps in "a few seconds"
-(taken as 3 s => 167k steps/s) and MinAtar 1e7 steps in "< 1 minute"
-(=> 167k steps/s). The reference publishes no craftax wall-time, so the
-craftax workload contributes to the value but not to vs_baseline.
+vs_baseline: the PREFERRED denominator is the reference engine itself
+MEASURED ON THIS CHIP — scripts/bench_reference.py runs the unmodified
+reference scripts (via tests/refshim) at the same configs on the same
+hardware and records docs/REFERENCE_ONCHIP.json; each headline group's
+ratio is then measured-vs-measured (also emitted per row as
+`vs_reference_onchip`). Groups without a measurement fall back to the
+reference's published A40 wall-times (README.md:25-29: CartPole 5e5 steps
+in "a few seconds" => 167k steps/s, MinAtar 1e7 in "< 1 minute" => 167k),
+kept per-row as `vs_a40_baseline`.
+
+Each row also carries roofline accounting: XLA cost_analysis FLOPs/bytes
+per run over wall time and chip peak (`mfu_bf16_peak`, `hbm_utilization`)
+plus a bound classification (mxu / hbm / dispatch) — quantifying WHERE
+each workload sits, not just how fast it goes.
 
 Methodology notes (tunneled TPU): one warmup execution per program (the
 tunnel's first run includes upload), then min over 3 timed runs; completion
@@ -52,6 +61,86 @@ A40_BASELINES = {
     "cartpole": 5e5 / 3.0,   # README.md:25-27
     "minatar": 1e7 / 60.0,   # README.md:28
 }
+
+# Measured same-chip reference-engine numbers (scripts/bench_reference.py:
+# the unmodified reference scripts run on THIS chip via tests/refshim at
+# the same configs). When present, these are the vs_baseline denominators —
+# a measured engine-vs-engine ratio instead of the A40 prose-derived guess.
+# Maps headline group -> REFERENCE_ONCHIP.json row.
+_REF_ONCHIP_ROWS = {
+    "cartpole": "cartpole_parity",
+    "minatar": "minatar_parity",
+    "craftax": "craftax",
+}
+
+
+def load_reference_onchip():
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs", "REFERENCE_ONCHIP.json",
+    )
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return {k: v["ref_sps"] for k, v in data.items() if "ref_sps" in v}
+    except Exception:
+        return {}
+
+
+# chip peaks for utilization accounting (public spec numbers). The MXU is
+# bf16-native; f32 programs (the parity configs) cannot reach bf16 peak, so
+# `mfu_bf16_peak` is a conservative utilization floor. HBM bandwidth gives
+# the roofline's memory leg.
+_CHIP_PEAKS = {
+    "TPU v5 lite": {"bf16_flops": 197e12, "hbm_bytes": 819e9},
+    "TPU v5e": {"bf16_flops": 197e12, "hbm_bytes": 819e9},
+    "TPU v5": {"bf16_flops": 459e12, "hbm_bytes": 1228e9},
+    "TPU v4": {"bf16_flops": 275e12, "hbm_bytes": 1228e9},
+    "TPU v3": {"bf16_flops": 123e12, "hbm_bytes": 900e9},
+    "TPU v6 lite": {"bf16_flops": 918e12, "hbm_bytes": 1640e9},
+}
+
+
+def program_cost(compiled):
+    """XLA cost_analysis for one execution: (flops, bytes accessed)."""
+    try:
+        ca = compiled.cost_analysis()
+        if not isinstance(ca, dict):  # older jax returns [dict]
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def roofline_fields(flops, bytes_accessed, seconds):
+    """Per-row utilization + bound classification for BENCH_DETAILS.
+
+    `bound`: which roofline leg the program sits closest to — 'mxu'
+    (compute) or 'hbm' (bandwidth) when either utilization is material,
+    else 'dispatch' (the program is dominated by kernel-launch latency /
+    sequential tiny ops — the usual regime for small-batch RL loops)."""
+    kind = jax.devices()[0].device_kind
+    peaks = _CHIP_PEAKS.get(kind)
+    if peaks is None or not seconds or not (flops or bytes_accessed):
+        return {}
+    mfu = flops / seconds / peaks["bf16_flops"]
+    hbm = bytes_accessed / seconds / peaks["hbm_bytes"]
+    if max(mfu, hbm) < 0.05:
+        bound = "dispatch"
+    elif mfu >= hbm:
+        bound = "mxu"
+    else:
+        bound = "hbm"
+    return {
+        "flops_per_run": flops,
+        "bytes_per_run": bytes_accessed,
+        "mfu_bf16_peak": round(mfu, 4),
+        "hbm_utilization": round(hbm, 4),
+        "bound": bound,
+        "chip": kind,
+    }
 
 WORKLOADS = {
     # cartpole/minatar keep the reference configs' in-graph eval enabled
@@ -318,16 +407,23 @@ def run_workload(name: str) -> float:
         rngs = jax.random.split(jax.random.PRNGKey(0), spec.get("n_seeds", 1))
         fn = jax.jit(jax.vmap(train_factory(config)))
 
-    outs = fn(rngs)
-    force(outs)  # warmup + force
+    try:
+        compiled = fn.lower(rngs).compile()
+        flops, nbytes = program_cost(compiled)
+    except Exception:
+        compiled, flops, nbytes = fn, 0.0, 0.0
+
+    outs = compiled(rngs)
+    force(outs)  # warmup + force (tunnel upload on first execution)
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        outs = fn(rngs)
+        outs = compiled(rngs)
         force(outs)
         times.append(time.time() - t0)
-    return spec["total"] / min(times)
+    best = min(times)
+    return spec["total"] / best, roofline_fields(flops, nbytes, best)
 
 
 # Row order: headline candidates first, parity fallbacks second, detail
@@ -358,7 +454,7 @@ def main():
             print(f"# {name}: skipped (time budget)", file=sys.stderr)
             continue
         try:
-            sps = run_workload(name)
+            sps, roofline = run_workload(name)
         except Exception as e:  # a failed workload shouldn't zero the line
             details[name] = {"error": f"{type(e).__name__}: {e}"}
             continue
@@ -373,6 +469,7 @@ def main():
                 and WORKLOADS[name].get("n_seeds", 1) == 1
                 else None
             ),
+            **roofline,
         }
         print(f"# {name}: {sps:,.0f} env-steps/s", file=sys.stderr)
 
@@ -388,7 +485,11 @@ def main():
         details["envhost_cpp_pool"] = {"error": f"{type(e).__name__}: {e}"}
 
     # headline per group: the first configuration in the group's
-    # preference list that produced a number (fused first, parity fallback)
+    # preference list that produced a number (fused first, parity fallback).
+    # vs_baseline prefers the MEASURED same-chip reference-engine number
+    # (docs/REFERENCE_ONCHIP.json via scripts/bench_reference.py) and falls
+    # back to the A40 prose-derived figure where no measurement exists.
+    ref_onchip = load_reference_onchip()
     ok, ratios = [], []
     for group, candidates in HEADLINE_GROUPS.items():
         for k in candidates:
@@ -397,12 +498,25 @@ def main():
                 row["headline"] = True
                 ok.append(row["env_steps_per_s"])
                 if group in A40_BASELINES:
-                    ratio = round(
+                    row["vs_a40_baseline"] = round(
                         row["env_steps_per_s"] / A40_BASELINES[group], 2
                     )
-                    row["vs_a40_baseline"] = ratio
+                ref_row = _REF_ONCHIP_ROWS.get(group)
+                if ref_row in ref_onchip:
+                    ratio = round(
+                        row["env_steps_per_s"] / ref_onchip[ref_row], 2
+                    )
+                    row["vs_reference_onchip"] = ratio
                     ratios.append(ratio)
+                elif group in A40_BASELINES:
+                    ratios.append(row["vs_a40_baseline"])
                 break
+    # per-row measured ratios for the parity detail rows too
+    for k, row in details.items():
+        if k in ref_onchip and "env_steps_per_s" in row:
+            row["vs_reference_onchip"] = round(
+                row["env_steps_per_s"] / ref_onchip[k], 2
+            )
     geo = float(np.exp(np.mean(np.log(ok)))) if ok else 0.0
     geo_ratio = float(np.exp(np.mean(np.log(ratios)))) if ratios else 0.0
 
