@@ -226,9 +226,13 @@ def make_train(
                 train_state["critic"].params, train_state["critic"].batch_stats
             )
 
-        def policy_step(train_state, obs, rng, noise_std=0.0):
+        def policy_step(train_state, obs, noise_key, noise_std=0.0):
             """Greedy actor action, its noise-ladder exploration variant,
-            and the ensemble-mean value of the explored action."""
+            and the ensemble-mean value of the explored action.
+            `noise_key` feeds the Gaussian draw directly — the caller owns
+            the split discipline (the reference's key reuse between noise
+            and env-step keys, pqn_mujoco_playground.py:261-309, is a
+            caller-level fact)."""
             greedy = actor.apply(
                 {
                     "params": train_state["actor"].params,
@@ -237,11 +241,10 @@ def make_train(
                 obs,
                 train=False,
             )
-            rng, _rng = jax.random.split(rng)
             explored = gaussian_noise_ladder(
-                _rng, greedy, noise_std, act_low, act_high,
+                noise_key, greedy, noise_std, act_low, act_high,
                 scale=action_scale,
-                linspace=config.get("LINSPACE_NOISE", True),
+                linspace=config.get("LINSPACE_NOISE", False),
             )
             value = ensemble_values(train_state, obs, explored).mean(axis=0)
             return greedy, explored, value
@@ -255,11 +258,15 @@ def make_train(
             def _env_step(runner_state, unused):
                 train_state, env_state, last_obs, rng, test_metrics = runner_state
                 noise_std = noise_scheduler(train_state["actor"].n_updates)
+                # ONE split per step, reference-exact: the reference hands
+                # its carry rng to actor_critic_step (which splits it for
+                # the noise draw) and then RE-SPLITS the same carry for the
+                # env-step keys — so the noise key and the step-key source
+                # are the same array (pqn_mujoco_playground.py:261,306-309)
                 rng, _rng = jax.random.split(rng)
                 greedy_action, action, value = policy_step(
                     train_state, last_obs, _rng, noise_std
                 )
-                rng, _rng = jax.random.split(rng)
                 rng_step = jax.random.split(_rng, config["NUM_ENVS"])
                 obsv, env_state, reward, done, info = env.step(
                     rng_step, env_state, action, env_params
@@ -383,8 +390,11 @@ def make_train(
             train_state, env_state, last_obs, rng, test_metrics = runner_state
             rng, _rng = jax.random.split(rng)
             noise_std = noise_scheduler(train_state["actor"].n_updates)
+            # here the reference's actor_critic_step DOES consume its own
+            # internal split of _rng for the noise draw
+            _, noise_key = jax.random.split(_rng)
             _, last_action, last_val = policy_step(
-                train_state, last_obs, _rng, noise_std
+                train_state, last_obs, noise_key, noise_std
             )
             next_actions = jnp.concatenate(
                 (traj_batch.next_action[1:], last_action[np.newaxis])
@@ -588,7 +598,7 @@ def make_train(
                     train_state["actor"].n_updates
                     % test_interval_updates(config)
                     == 0,
-                    lambda _: get_test_metrics(train_state, _rng),
+                    lambda _: get_test_metrics(train_state, env_state, _rng),
                     lambda _: test_metrics,
                     operand=None,
                 )
@@ -600,7 +610,7 @@ def make_train(
             runner_state = (train_state, env_state, last_obs, rng, test_metrics)
             return runner_state, metrics if collect_metrics else {}
 
-        def get_test_metrics(train_state, rng):
+        def get_test_metrics(train_state, training_env_state, rng):
             if not config.get("TEST_DURING_TRAINING", False):
                 return None
 
@@ -658,9 +668,16 @@ def make_train(
                 )
                 return episode_mean_metrics(infos, pmap_axis)
 
+            # reference eval semantics (pqn_mujoco_playground.py:689-761):
+            # fresh test envs but the TRAINING normalization statistics
+            # (obs-norm state swapped in, init obs re-normalized with the
+            # training stats — including the reference's double-normalize
+            # of the initial obs), each env's FIRST episode counted via a
+            # latched running_done, and step keys drawn from the second of
+            # two splits per step.
             def _env_step(carry, _):
-                env_state, last_obs, rng = carry
-                rng, _rng = jax.random.split(rng)
+                env_state, last_obs, rng, returns = carry
+                rng, _rng = jax.random.split(rng)  # discarded (reference)
                 action = actor.apply(
                     {
                         "params": train_state["actor"].params,
@@ -669,26 +686,74 @@ def make_train(
                     last_obs,
                     train=False,
                 )
+                rng, _rng = jax.random.split(rng)
                 rng_step = jax.random.split(_rng, config["TEST_NUM_ENVS"])
                 obsv, env_state, reward, done, info = env.step(
                     rng_step, env_state, action, env_params
                 )
-                return (env_state, obsv, rng), info
+                alive = ~returns["running_done"]
+                returns = {
+                    "running_returns": jnp.where(
+                        alive,
+                        returns["running_returns"] + info["original_reward"],
+                        returns["running_returns"],
+                    ),
+                    "running_len": jnp.where(
+                        alive,
+                        returns["running_len"] + 1,
+                        returns["running_len"],
+                    ),
+                    "running_done": returns["running_done"] | done,
+                }
+                return (env_state, obsv, rng, returns), info
 
             rng, _rng = jax.random.split(rng)
             reset_rng = jax.random.split(_rng, config["TEST_NUM_ENVS"])
-            init_obs, env_state = env.reset(reset_rng, env_params)
-            _, infos = jax.lax.scan(
-                _env_step, (env_state, init_obs, _rng), None,
+            init_obs, reset_env_state = env.reset(reset_rng, env_params)
+            if config.get("NORMALIZE_OBS", False):
+                env_state = training_env_state.replace(
+                    env_state=reset_env_state.env_state
+                )
+                init_obs = (init_obs - env_state.mean) / jnp.sqrt(
+                    env_state.var + 1e-8
+                )
+            else:
+                env_state = reset_env_state
+            returns = {
+                "running_returns": jnp.zeros((config["TEST_NUM_ENVS"],)),
+                "running_len": jnp.zeros(
+                    (config["TEST_NUM_ENVS"],), jnp.float32
+                ),
+                "running_done": jnp.zeros(
+                    (config["TEST_NUM_ENVS"],), dtype=bool
+                ),
+            }
+            (_, _, _, returns), _ = jax.lax.scan(
+                _env_step, (env_state, init_obs, _rng, returns), None,
                 config["TEST_NUM_STEPS"],
             )
-            return episode_mean_metrics(infos, pmap_axis)
+            ret_sum = returns["running_returns"].sum()
+            len_sum = returns["running_len"].sum()
+            done_sum = returns["running_done"].sum()
+            n_test = jnp.asarray(float(config["TEST_NUM_ENVS"]))
+            if pmap_axis is not None:
+                ret_sum = jax.lax.psum(ret_sum, pmap_axis)
+                len_sum = jax.lax.psum(len_sum, pmap_axis)
+                done_sum = jax.lax.psum(done_sum, pmap_axis)
+                n_test = jax.lax.psum(n_test, pmap_axis)
+            return {
+                "returned_episode_returns": ret_sum / done_sum,
+                "returned_episode_lengths": len_sum / done_sum,
+                "done_episodes": done_sum / n_test,
+            }
 
         rng, _rng = jax.random.split(rng)
-        test_metrics = get_test_metrics(train_state, _rng)
+        test_metrics = get_test_metrics(train_state, env_state, _rng)
 
+        # the reference seeds the update scan with the SECOND half of this
+        # split (pqn_mujoco_playground.py:766-767)
         rng, _rng = jax.random.split(rng)
-        runner_state = (train_state, env_state, obsv, rng, test_metrics)
+        runner_state = (train_state, env_state, obsv, _rng, test_metrics)
         runner_state, metrics = jax.lax.scan(
             _update_step, runner_state, None, config["NUM_UPDATES"]
         )

@@ -26,7 +26,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-_SHIM_MODULES = ("gymnax", "craftax", "jaxmarl", "hydra", "omegaconf", "wandb")
+_SHIM_MODULES = (
+    "gymnax", "craftax", "jaxmarl", "brax", "mujoco_playground",
+    "hydra", "omegaconf", "wandb",
+)
 
 
 def _import_reference(module_name):
@@ -363,6 +366,60 @@ def test_bitwise_param_parity_vdn_jaxmarl():
         np.asarray(ours["runner_state"][0].timesteps),
         np.asarray(theirs["runner_state"][0].timesteps),
     )
+
+
+def test_bitwise_param_parity_ac_playground():
+    """AC-engine parity vs the unmodified pqn_mujoco_playground.py script,
+    with mujoco_playground/brax shimmed to the in-tree PointMass (native
+    [-1,1] action box): deterministic tanh actor + Gaussian noise (the
+    reference's noise/step-key reuse discipline), vmapped critic-ensemble
+    init/apply, Q(lambda) targets over ensemble-mean values, Huber critic
+    loss, thresholded smooth-L1 actor penalty, and the Normalize
+    Obs/Reward + LogVec + ClipAction wrapper stack on BOTH sides.
+
+    Protocol note: brax-style envs carry reset randomness in state (no
+    per-step key), the in-tree stack passes per-step keys — identical
+    until an episode boundary, so this test trains strictly inside the
+    first episode (128 steps/env < PointMass's 250-step horizon)."""
+    import jax as _jax
+    from purejaxql_tpu.core.config import compose
+    from purejaxql_tpu.algo.pqn_ac import make_train as our_make_train
+
+    ref_mod = _import_reference("purejaxql.pqn_mujoco_playground")
+
+    overrides = [
+        "ENV_NAME=PointMass-v0",
+        "TOTAL_TIMESTEPS=2048",
+        "NUM_ENVS=16",
+        "NUM_STEPS=16",
+        "NUM_MINIBATCHES=2",
+        "NUM_EPOCHS=1",
+        "ACTOR_HIDDEN_SIZES=[32,32]",
+        "CRITIC_HIDDEN_SIZES=[32,32]",
+        "NORMALIZE_OBS=True",
+        "NORMALIZE_REWARD=True",
+        "TEST_DURING_TRAINING=False",
+    ]
+    config = compose(alg="pqn_dm_suite", overrides=overrides)
+    ref_config = {
+        **config,
+        "ENV_NAME": "PointMass",  # shim maps to the in-tree PointMass-v0
+        "WANDB_MODE": "disabled",
+        "WANDB_LOG_ALL_SEEDS": False,
+    }
+
+    rngs = _jax.random.split(_jax.random.PRNGKey(0), 1)
+    ours = _jax.jit(_jax.vmap(our_make_train(dict(config))))(rngs)
+    theirs = _jax.jit(_jax.vmap(ref_mod.make_train(dict(ref_config))))(rngs)
+    for head in ("actor", "critic"):
+        _assert_tree_bitwise(
+            ours["runner_state"][0][head].params,
+            theirs["runner_state"][0][head].params,
+        )
+        _assert_tree_bitwise(
+            ours["runner_state"][0][head].opt_state,
+            theirs["runner_state"][0][head].opt_state,
+        )
 
 
 def test_bitwise_param_parity_multi_seed_vmap():
