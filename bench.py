@@ -484,6 +484,46 @@ def main():
     except Exception as e:
         details["envhost_cpp_pool"] = {"error": f"{type(e).__name__}: {e}"}
 
+    # END-TO-END host-path training (pqn_host on the bundled Pong plug-in,
+    # CPU backend in a subprocess — host callbacks are unsupported on the
+    # tunneled TPU runtime). Skipped once the time budget is spent.
+    if time.time() - t_start <= budget:
+        try:
+            import subprocess
+
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PYTHONPATH"] = ""
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "scripts", "bench_host_train.py",
+                    ),
+                    "PongRam-EH",
+                ],
+                env=env, capture_output=True, text=True, timeout=600,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            host_train = json.loads(line)
+            details["host_pong_train_e2e"] = {
+                "env_steps_per_s": round(host_train["steps_per_s"]),
+                "vs_a40_baseline": None,
+                "backend": "cpu (host callbacks unavailable on axon)",
+            }
+            print(
+                f"# host_pong_train_e2e: {host_train['steps_per_s']:,.0f} "
+                "env-steps/s",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            details["host_pong_train_e2e"] = {
+                "error": f"{type(e).__name__}: {e}"
+            }
+    else:
+        details["host_pong_train_e2e"] = {"skipped": "time budget"}
+
     # headline per group: the first configuration in the group's
     # preference list that produced a number (fused first, parity fallback).
     # vs_baseline prefers the MEASURED same-chip reference-engine number

@@ -368,7 +368,18 @@ def make_train(
                 "td_loss": loss.mean(),
                 "qvals": qvals.mean(),
             }
-            metrics.update({k: v.mean() for k, v in infos.items()})
+            if config.get("DONE_MASKED_INFO_METRICS", False):
+                # report info values at episode ends only (weighted mean by
+                # returned_episode), the craftax-script convention
+                # (pqn_rnn_craftax.py:446-451) — without it, held values
+                # diluted by unfinished envs read near zero at craftax scale
+                re = infos["returned_episode"].astype(jnp.float32)
+                denom = jnp.maximum(re.sum(), 1.0)
+                metrics.update(
+                    {k: (v * re).sum() / denom for k, v in infos.items()}
+                )
+            else:
+                metrics.update({k: v.mean() for k, v in infos.items()})
             if pmap_axis is not None:
                 metrics = jax.lax.pmean(metrics, pmap_axis)
 

@@ -104,6 +104,30 @@ def load_plugin(so_path: str) -> None:
         raise ValueError(f"failed to load plugin {so_path!r}: {reason}")
 
 
+_bundled_loaded = False
+
+
+def ensure_bundled_plugins() -> None:
+    """Build + register the bundled plug-in games (cpp/plugins/): Pong-EH
+    (84x84x4 pixel obs, the ALE-Pong-class demonstration of the plug-in
+    socket) and PongRam-EH (8-float RAM-style obs). Idempotent."""
+    global _bundled_loaded
+    if _bundled_loaded:
+        return
+    import fcntl
+
+    pong_dir = os.path.join(_CPP_DIR, "plugins", "pong")
+    os.makedirs(os.path.join(_CPP_DIR, "build"), exist_ok=True)
+    with open(os.path.join(_CPP_DIR, "build", ".lock"), "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        subprocess.run(
+            ["make", "-C", pong_dir], check=True, capture_output=True
+        )
+    load_plugin(os.path.join(pong_dir, "libehpong.so"))
+    load_plugin(os.path.join(pong_dir, "libehpong_ram.so"))
+    _bundled_loaded = True
+
+
 class HostEnvPool:
     """Batched C++ env pool with auto-reset, gymnax-flavored numpy API."""
 
@@ -115,6 +139,9 @@ class HostEnvPool:
         seed: int = 0,
     ):
         lib = _load_library()
+        if env_name.endswith("-EH"):
+            # bundled plug-in games auto-build + register on first use
+            ensure_bundled_plugins()
         num_threads = num_threads or min(num_envs, os.cpu_count() or 1)
         self._lib = lib
         self._handle = lib.eh_make(
