@@ -86,6 +86,18 @@ def _populate():
 
     _REGISTRY["CheetahRun-v0"] = Cheetah
 
+    # manipulation-class contact tasks (reference family:
+    # train_playground_all.sh:117-163 manipulation block)
+    from purejaxql_tpu.envs.classic.manipulation2d import (
+        PickPlace,
+        PegInsert,
+        BlockRotate,
+    )
+
+    _REGISTRY["PickPlace-v0"] = PickPlace
+    _REGISTRY["PegInsert-v0"] = PegInsert
+    _REGISTRY["BlockRotate-v0"] = BlockRotate
+
     try:
         from purejaxql_tpu.envs.minatar import (
             MinBreakout,
