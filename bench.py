@@ -338,6 +338,19 @@ WORKLOADS = {
         total=int(1e6),
         family="pqn_vdn",
     ),
+    # hoisted-projection BPTT on the agent-flattened learn batch
+    # (numerical equivalence + trajectory match:
+    # tests/test_fast_rnn.py::test_trainer_fast_bptt_vdn_matches_flax_closely)
+    "vdn_spread_fast": dict(
+        alg="pqn_vdn_spread",
+        overrides=[
+            "COLLECT_METRICS=False",
+            "TEST_DURING_TRAINING=False",
+            "FAST_BPTT=True",
+        ],
+        total=int(1e6),
+        family="pqn_vdn",
+    ),
     "pendulum_ac_fused": dict(
         alg="pqn_pendulum",
         overrides=["COLLECT_METRICS=False", "FUSED_ROLLOUT=True"],
@@ -437,8 +450,8 @@ _PRIORITY = [
     "cartpole_parity", "minatar_parity", "craftax",
     "rnn_cartpole_fast", "rnn_craftax_fast", "rnn_craftax",
     "minatar_eval8", "pendulum_ac_fused", "cartpole_seeds64",
-    "pendulum_ac", "vdn_spread", "rnn_cartpole", "minatar_bf16",
-    "rnn_cartpole_pallas",
+    "pendulum_ac", "vdn_spread_fast", "vdn_spread", "rnn_cartpole",
+    "minatar_bf16", "rnn_cartpole_pallas",
 ]
 _REQUIRED = set(_PRIORITY[:6])  # headline candidates + parity fallbacks
 

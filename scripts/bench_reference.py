@@ -107,6 +107,11 @@ def measure(row, module, alg, overrides, total):
         "WANDB_LOG_ALL_SEEDS": False,
         "RETURN_METRICS": False,
     }
+    # yaml "5e5"-style scalars arrive as strings; the reference scripts
+    # use them numerically without coercion
+    for k in ("TOTAL_TIMESTEPS", "TOTAL_TIMESTEPS_DECAY"):
+        if k in ref_config:
+            ref_config[k] = int(float(ref_config[k]))
     mod = importlib.import_module(module)
     if row == "vdn_spread":
         import copy
