@@ -103,41 +103,126 @@ _CHIP_PEAKS = {
 }
 
 
-def program_cost(compiled):
-    """XLA cost_analysis for one execution: (flops, bytes accessed)."""
-    try:
-        ca = compiled.cost_analysis()
-        if not isinstance(ca, dict):  # older jax returns [dict]
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
-    except Exception:
-        return 0.0, 0.0
+def _count_params(tree):
+    return sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree)
+    )
 
 
-def roofline_fields(flops, bytes_accessed, seconds):
-    """Per-row utilization + bound classification for BENCH_DETAILS.
+def model_flops_per_env_step(spec, config):
+    """Analytic MODEL FLOPs charged per environment step.
 
-    `bound`: which roofline leg the program sits closest to — 'mxu'
-    (compute) or 'hbm' (bandwidth) when either utilization is material,
-    else 'dispatch' (the program is dominated by kernel-launch latency /
-    sequential tiny ops — the usual regime for small-batch RL loops)."""
+    XLA's compiled cost_analysis counts while-loop bodies ONCE (no trip
+    counts), so it undercounts a fused training program by ~NUM_UPDATES —
+    useless for utilization. Instead: a dense/conv forward costs ~2P FLOPs
+    per sample (P = parameter count), a backward ~2x the forward; PQN
+    replays every collected env step NUM_EPOCHS times, so
+
+        flops/env-step ~= 2P (rollout fwd) + NUM_EPOCHS * 6P (learn)
+
+    (in-graph eval and the env step itself — VPU work, not matmul — are
+    excluded: MFU here means MXU utilization by the model).
+    """
+    import jax.numpy as jnp
+
+    fam = spec.get("family", "pqn")
+    if fam == "pqn_ac":
+        from purejaxql_tpu.algo.pqn_ac import build_ac_env
+        from purejaxql_tpu.models.actor_critic import Actor, Critic
+
+        _, base_env, env_params, low, high = build_ac_env(dict(config))
+        obs_shape = base_env.observation_space(env_params).shape
+        adim = base_env.action_space(env_params).shape[0]
+        actor = Actor(
+            adim, action_scale=1.0, action_bias=0.0,
+            hidden_sizes=tuple(config["ACTOR_HIDDEN_SIZES"]),
+        )
+        critic = Critic(hidden_sizes=tuple(config["CRITIC_HIDDEN_SIZES"]))
+        pa = _count_params(
+            actor.init(jax.random.PRNGKey(0), jnp.zeros(obs_shape))
+        )
+        pc = _count_params(
+            critic.init(
+                jax.random.PRNGKey(0), jnp.zeros(obs_shape), jnp.zeros(adim)
+            )
+        ) * config.get("NUM_CRITICS", 2)
+        p = pa + pc
+    elif fam in ("pqn_rnn", "pqn_vdn"):
+        from purejaxql_tpu.models.rnn import RNNQNetwork
+
+        if fam == "pqn_vdn":
+            from purejaxql_tpu.envs.marl import make_marl
+            from purejaxql_tpu.envs.marl.base import CTRolloutManager
+
+            env = make_marl(
+                config["ENV_NAME"], **(config.get("ENV_KWARGS") or {})
+            )
+            mgr = CTRolloutManager(env, batch_size=1)
+            obs_dim, adim = mgr.obs_size, mgr.max_action_space
+        else:
+            from purejaxql_tpu.algo.pqn import build_env
+
+            cfg = dict(config)
+            cfg.setdefault("ARCH", "mlp")
+            _, _, base_env, env_params, _ = build_env(cfg)
+            obs_dim = int(
+                np.prod(base_env.observation_space(env_params).shape)
+            )
+            adim = base_env.action_space(env_params).n
+        net = RNNQNetwork(
+            action_dim=adim,
+            hidden_size=config.get("HIDDEN_SIZE", 128),
+            num_layers=config.get("NUM_LAYERS", 2),
+            num_rnn_layers=config.get("NUM_RNN_LAYERS", 1),
+            cell_type=config.get("RNN_CELL", "gru"),
+        )
+        hs = net.initialize_carry(1)
+        p = _count_params(
+            net.init(
+                jax.random.PRNGKey(0), hs, jnp.zeros((1, 1, obs_dim)),
+                jnp.zeros((1, 1)), jnp.zeros((1, 1), jnp.int32),
+            )
+        )
+    else:
+        from purejaxql_tpu.algo.pqn import build_env
+        from purejaxql_tpu.models.factory import make_q_network
+
+        _, _, base_env, env_params, _ = build_env(dict(config))
+        obs_shape = base_env.observation_space(env_params).shape
+        net = make_q_network(
+            dict(config), base_env.action_space(env_params).n, obs_shape
+        )
+        p = _count_params(
+            net.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, *obs_shape)),
+                train=False,
+            )
+        )
+    epochs = int(config.get("NUM_EPOCHS", 1))
+    return (2 + 6 * epochs) * p
+
+
+def roofline_fields(spec, config, seconds, total_steps):
+    """Per-row MXU-utilization accounting for BENCH_DETAILS: analytic
+    model FLOPs over wall time and chip bf16 peak, plus a bound label —
+    'mxu' when the model meaningfully occupies the systolic array,
+    'latency/vpu' when it doesn't (small-batch RL loops are dominated by
+    per-step dispatch latency and element-wise env work)."""
     kind = jax.devices()[0].device_kind
     peaks = _CHIP_PEAKS.get(kind)
-    if peaks is None or not seconds or not (flops or bytes_accessed):
+    if peaks is None or not seconds:
         return {}
-    mfu = flops / seconds / peaks["bf16_flops"]
-    hbm = bytes_accessed / seconds / peaks["hbm_bytes"]
-    if max(mfu, hbm) < 0.05:
-        bound = "dispatch"
-    elif mfu >= hbm:
-        bound = "mxu"
-    else:
-        bound = "hbm"
+    try:
+        fps = model_flops_per_env_step(spec, config)
+    except Exception:
+        return {"chip": kind}
+    flops_per_s = fps * total_steps / seconds
+    mfu = flops_per_s / peaks["bf16_flops"]
+    bound = "mxu" if mfu > 0.05 else "latency/vpu"
     return {
-        "flops_per_run": flops,
-        "bytes_per_run": bytes_accessed,
+        "model_flops_per_env_step": int(fps),
+        "model_tflops_per_s": round(flops_per_s / 1e12, 3),
         "mfu_bf16_peak": round(mfu, 4),
-        "hbm_utilization": round(hbm, 4),
         "bound": bound,
         "chip": kind,
     }
@@ -420,23 +505,21 @@ def run_workload(name: str) -> float:
         rngs = jax.random.split(jax.random.PRNGKey(0), spec.get("n_seeds", 1))
         fn = jax.jit(jax.vmap(train_factory(config)))
 
-    try:
-        compiled = fn.lower(rngs).compile()
-        flops, nbytes = program_cost(compiled)
-    except Exception:
-        compiled, flops, nbytes = fn, 0.0, 0.0
-
-    outs = compiled(rngs)
+    outs = fn(rngs)
     force(outs)  # warmup + force (tunnel upload on first execution)
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        outs = compiled(rngs)
+        outs = fn(rngs)
         force(outs)
         times.append(time.time() - t0)
     best = min(times)
-    return spec["total"] / best, roofline_fields(flops, nbytes, best)
+    # spec["total"] is the GLOBAL env-step count (already aggregate for
+    # multi-seed rows)
+    return spec["total"] / best, roofline_fields(
+        spec, config, best, spec["total"]
+    )
 
 
 # Row order: headline candidates first, parity fallbacks second, detail
