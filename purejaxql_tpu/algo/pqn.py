@@ -657,19 +657,64 @@ def make_train(
                     _rng, (), 0, jnp.iinfo(jnp.int32).max - n_chunks * chunk
                 )
 
-                def _chunk(raw_state, i):
+                def _run_chunk(raw_state, i):
                     (_, _, rew, done_i, _, _, new_raw) = fused_game_rollout(
                         config["ENV_NAME"], seed0 + i * chunk,
                         jnp.float32(config["EPS_TEST"]),
                         train_state.params, raw_state, chunk, **fused_kw,
                     )
-                    return new_raw, (rew, done_i.astype(jnp.float32))
+                    return new_raw, rew, done_i.astype(jnp.float32)
 
-                _, (rews, dones) = jax.lax.scan(
-                    _chunk,
-                    test_log_state.env_state,
-                    jnp.arange(n_chunks),
-                )
+                if config.get("EVAL_EARLY_EXIT", False):
+                    # stop once EVERY eval env has finished at least one
+                    # episode (the AC reference's first-episode latch,
+                    # pqn_mujoco_playground.py:716-726, applied at chunk
+                    # granularity): unexecuted steps stay done=False so the
+                    # episode-mean estimator sees exactly the episodes that
+                    # completed before exit. Lane-padding makes fewer eval
+                    # ENVS free-but-useless in the fused kernel — fewer
+                    # eval STEPS is the axis that pays.
+                    n_test = config["TEST_NUM_ENVS"]
+                    buf_r = jnp.zeros((n_chunks, chunk, n_test))
+                    buf_d = jnp.zeros((n_chunks, chunk, n_test))
+
+                    def _cond(carry):
+                        i, _, done_once, _, _ = carry
+                        return (i < n_chunks) & ~done_once.all()
+
+                    def _body(carry):
+                        i, raw_state, done_once, buf_r, buf_d = carry
+                        new_raw, rew, done_f = _run_chunk(raw_state, i)
+                        buf_r = jax.lax.dynamic_update_slice(
+                            buf_r, rew[None], (i, 0, 0)
+                        )
+                        buf_d = jax.lax.dynamic_update_slice(
+                            buf_d, done_f[None], (i, 0, 0)
+                        )
+                        done_once = done_once | done_f.any(axis=0).astype(bool)
+                        return (i + 1, new_raw, done_once, buf_r, buf_d)
+
+                    (_, _, _, rews, dones) = jax.lax.while_loop(
+                        _cond,
+                        _body,
+                        (
+                            jnp.asarray(0, jnp.int32),
+                            test_log_state.env_state,
+                            jnp.zeros(n_test, bool),
+                            buf_r,
+                            buf_d,
+                        ),
+                    )
+                else:
+                    def _chunk(raw_state, i):
+                        new_raw, rew, done_f = _run_chunk(raw_state, i)
+                        return new_raw, (rew, done_f)
+
+                    _, (rews, dones) = jax.lax.scan(
+                        _chunk,
+                        test_log_state.env_state,
+                        jnp.arange(n_chunks),
+                    )
                 rews = rews.reshape(-1, rews.shape[-1])
                 dones = dones.reshape(-1, dones.shape[-1])
 

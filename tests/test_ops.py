@@ -545,6 +545,51 @@ def test_fused_eval_episode_accounting(monkeypatch):
     assert np.allclose(lens[-1], expected), lens
 
 
+def test_fused_eval_early_exit_first_episode_latch(monkeypatch):
+    """EVAL_EARLY_EXIT stops the chunked eval once every env has finished
+    an episode: with the synthetic done-at-step-5 stream, only chunk 0
+    executes, so the estimator sees exactly one 6-step episode per env
+    (the plain scan sees episodes of length 6, 8, 8 -> mean 22/3)."""
+    from purejaxql_tpu.algo import pqn as pqn_mod
+    from purejaxql_tpu.core.config import compose
+
+    CHUNK, B = 8, 4
+
+    def fake_rollout(env_name, seed, eps, params, env_state, T, **kw):
+        rew = jnp.ones((T, B), jnp.float32)
+        done = (
+            (jnp.arange(T) == 5).astype(jnp.int32)[:, None]
+            * jnp.ones((1, B), jnp.int32)
+        )
+        zero_obs = jnp.zeros((T, B, 10, 10, 4), jnp.float32)
+        q = jnp.zeros((T, B, 8), jnp.float32)
+        fobs = jnp.zeros((B, 10, 10, 4), jnp.float32)
+        act = jnp.zeros((T, B), jnp.int32)
+        return zero_obs, act, rew, done, q, fobs, env_state
+
+    monkeypatch.setattr(pqn_mod, "fused_game_rollout", fake_rollout)
+    config = compose(
+        alg="pqn_minatar",
+        overrides=[
+            "ENV_NAME=Breakout-MinAtar",
+            "TOTAL_TIMESTEPS=512", "TOTAL_TIMESTEPS_DECAY=512",
+            f"NUM_ENVS={B}", f"NUM_STEPS={CHUNK}",
+            "NUM_MINIBATCHES=1", "NUM_EPOCHS=1",
+            "TEST_DURING_TRAINING=True", f"TEST_NUM_ENVS={B}",
+            "TEST_NUM_STEPS=24", "TEST_INTERVAL=0.01",
+            "FUSED_ROLLOUT=True", "COLLECT_METRICS=True",
+            "EVAL_EARLY_EXIT=True",
+        ],
+    )
+    outs = jax.block_until_ready(
+        jax.jit(pqn_mod.make_train(config))(jax.random.PRNGKey(0))
+    )
+    rets = np.asarray(outs["metrics"]["test/returned_episode_returns"])
+    lens = np.asarray(outs["metrics"]["test/returned_episode_lengths"])
+    assert np.allclose(rets[-1], 6.0), rets
+    assert np.allclose(lens[-1], 6.0), lens
+
+
 def test_fused_eval_interpret_end_to_end():
     """Interpret-mode smoke of the fused eval on real Breakout: the whole
     make_train compiles and the eval produces the episode-metric keys."""
