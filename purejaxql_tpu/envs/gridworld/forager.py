@@ -1197,15 +1197,22 @@ class Forager(Environment):
     # ------------------------------------------------------------------
     def get_obs(self, state: ForagerState, params) -> jax.Array:
         half = VIEW // 2
-        # the stored map is pre-padded with an INVALID border (W.PAD >= half);
-        # the local window is a batched gather, NOT a vmapped dynamic_slice
-        # (which serializes on TPU — see the craft-neighborhood note above)
+        # the stored map is pre-padded with an INVALID border (W.PAD >= half).
+        # The local window is extracted with one-hot SELECTOR MATMULS on the
+        # MXU — not a vmapped dynamic_slice (serializes on TPU) and not a
+        # batched gather (TPU gathers run near-scalar: the gather form cost
+        # ~1.15 ms/update at the 1024-env bench config, ~28% of wall clock;
+        # this form is bitwise-identical — 0/1 selectors pick exactly one
+        # int value per cell, exact in f32 — and took the bench row from
+        # 249k to 335k env-steps/s. Round-4 ablation notes in ROADMAP.md.
         dv = jnp.arange(VIEW) - half
-        window = state.blocks[
-            state.level,
-            state.pos[0] + dv[:, None],
-            state.pos[1] + dv[None, :],
-        ]
+        lv = jax.nn.one_hot(state.level, state.blocks.shape[0])
+        level_map = jnp.einsum(
+            "l,lyx->yx", lv, state.blocks.astype(jnp.float32)
+        )
+        ry = jax.nn.one_hot(state.pos[0] + dv, state.blocks.shape[1])
+        rx = jax.nn.one_hot(state.pos[1] + dv, state.blocks.shape[2])
+        window = (ry @ level_map @ rx.T).astype(jnp.int32)
         block_onehot = jax.nn.one_hot(window, W.NUM_BLOCK_TYPES)
 
         # Dense compare instead of a scatter-max: (N_MOBS, V, V)
