@@ -596,6 +596,36 @@ class Forager(Environment):
         blocks = state.blocks
         lvl = state.level
 
+        # ---- local map patch (selector matmuls) ----------------------
+        # Every player-centric map read this step lands within +-8 of the
+        # incoming position (movement +-1, facing target +-2, craft
+        # neighborhood +-2, arrow ray +-6, zombie spawn offsets +-8 after
+        # their interior clip). TPU gathers run near-scalar (the same
+        # finding as the obs window, get_obs below), so the patch is
+        # extracted ONCE with one-hot selector matmuls and every read
+        # becomes an exact one-hot contraction over (17, 17). Coordinates
+        # outside the stored map hit all-zero selector rows and read
+        # INVALID (=0) — identical to the clamped gather's INVALID-border
+        # reads. Readers that run after this step's single tile write
+        # override that cell with `tile_new` (see _patch_read call sites).
+        _PR = 8
+        dpatch = jnp.arange(-_PR, _PR + 1)
+        lv_sel = jax.nn.one_hot(lvl, blocks.shape[0])
+        level_map = jnp.einsum(
+            "l,lyx->yx", lv_sel, blocks.astype(jnp.float32)
+        )
+        p_ry = jax.nn.one_hot(state.pos[0] + dpatch, blocks.shape[1])
+        p_rx = jax.nn.one_hot(state.pos[1] + dpatch, blocks.shape[2])
+        patch_f = p_ry @ level_map @ p_rx.T  # (17, 17), exact small ints
+
+        def _patch_read(ys, xs):
+            """blocks[lvl, ys, xs] for coords within +-_PR of state.pos."""
+            oy = jax.nn.one_hot(ys - state.pos[0] + _PR, 2 * _PR + 1)
+            ox = jax.nn.one_hot(xs - state.pos[1] + _PR, 2 * _PR + 1)
+            return jnp.einsum(
+                "...y,yx,...x->...", oy, patch_f, ox
+            ).astype(jnp.int32)
+
         sleeping = jnp.logical_and(state.sleeping, action == A_NOOP)
 
         # ---- movement / facing ---------------------------------------
@@ -608,13 +638,13 @@ class Forager(Environment):
         facing = jnp.where(is_move, move_dir, state.facing)
         step_vec = _DIRS[facing]
         new_pos = state.pos + step_vec  # border is INVALID: unwalkable
-        target_walkable = _WALKABLE[blocks[lvl, new_pos[0], new_pos[1]]]
+        target_walkable = _WALKABLE[_patch_read(new_pos[0], new_pos[1])]
         pos = jnp.where(jnp.logical_and(is_move, target_walkable), new_pos, state.pos)
 
         # facing target tile
         tgt = pos + _DIRS[facing]
         ty, tx = tgt[0], tgt[1]
-        tblock = blocks[lvl, ty, tx]
+        tblock = _patch_read(ty, tx)
 
         # ---- mob lookup at the target tile: one batched compare -------
         here = (
@@ -775,13 +805,18 @@ class Forager(Environment):
         )
 
         # ---- CRAFT actions ------------------------------------------
-        # Neighborhood read as ONE batched gather: a vmapped
-        # dynamic_slice lowers to a serialized slice loop on TPU and
-        # costs ~1.7ms/step at 1024 envs (measured on v5e) — the single
-        # hottest op in the whole env. The 3x3 gather is ~40x cheaper.
+        # 3x3 neighborhood from the selector-matmul patch (history: a
+        # vmapped dynamic_slice serialized, ~1.7ms/step; its gather
+        # replacement was ~40x cheaper; the patch read removes the gather
+        # entirely). This runs AFTER the tile write above, so the written
+        # cell is overridden with tile_new.
         py, px = pos[0], pos[1]
         d1 = jnp.arange(-1, 2)
-        around = blocks[alvl, py + d1[:, None], px + d1[None, :]]
+        around = jnp.where(
+            (py + d1[:, None] == ty) & (px + d1[None, :] == tx),
+            tile_new.astype(jnp.int32),
+            _patch_read(py + d1[:, None], px + d1[None, :]),
+        )
         near_table = (around == W.TABLE).any()
         near_furnace = (around == W.FURNACE).any()
 
@@ -888,7 +923,13 @@ class Forager(Environment):
         )
         ray_d = jnp.arange(1, ARROW_RANGE + 1)
         ray = pos[None, :] + ray_d[:, None] * _DIRS[facing][None, :]  # (R, 2)
-        ray_free = _WALKABLE[blocks[lvl, ray[:, 0], ray[:, 1]]]
+        # post-write patch read (override the written facing tile)
+        ray_vals = jnp.where(
+            (ray[:, 0] == ty) & (ray[:, 1] == tx),
+            tile_new.astype(jnp.int32),
+            _patch_read(ray[:, 0], ray[:, 1]),
+        )
+        ray_free = _WALKABLE[ray_vals]
         # clear[i]: every tile strictly before ray[i] is walkable
         clear = jnp.concatenate(
             [jnp.array([True]), jnp.cumprod(ray_free[:-1]).astype(bool)]
@@ -1031,12 +1072,20 @@ class Forager(Environment):
         far_enough = jnp.abs(spawn_offsets).sum(axis=1) >= 5
         spawn_pos = jnp.clip(pos + spawn_offsets, W.PAD, W.PAD + W.WORLD_SIZE - 1)
         z_alive = mob_alive[ZOMBIES]
+        # patch read post-DO-write; the later surface-ripening write only
+        # swaps SAPLING -> PLANT_RIPE, which are both walkable, so the
+        # walkability consumed here is exact
+        spawn_vals = jnp.where(
+            (spawn_pos[:, 0] == ty) & (spawn_pos[:, 1] == tx),
+            tile_new.astype(jnp.int32),
+            _patch_read(spawn_pos[:, 0], spawn_pos[:, 1]),
+        )
         spawn_ok = (
             (is_night | (lvl != W.SURFACE))
             & ~z_alive
             & far_enough
             & (u_zgate < 0.05)
-            & _WALKABLE[blocks[lvl, spawn_pos[:, 0], spawn_pos[:, 1]]]
+            & _WALKABLE[spawn_vals]
         )
         mob_pos = state.mob_pos.at[ZOMBIES].set(
             jnp.where(spawn_ok[:, None], spawn_pos, state.mob_pos[ZOMBIES])
