@@ -1133,8 +1133,28 @@ class Forager(Environment):
             W.PAD,
             W.PAD + W.WORLD_SIZE - 1,
         )
+        # per-mob walkability without the (N_MOBS,) multi-level gather:
+        # contract one-hot row selectors against the full block stack on
+        # the MXU, then pick level/column with exact one-hot dots. Reads
+        # the pre-ripening map like the gather it replaces did until this
+        # round — SAPLING/PLANT_RIPE are both walkable, so the consumed
+        # bool is identical; the DO-write tile is overridden exactly.
+        m_oy = jax.nn.one_hot(cand[:, 0], blocks.shape[1])
+        m_ox = jax.nn.one_hot(cand[:, 1], blocks.shape[2])
+        m_ol = jax.nn.one_hot(mob_level, blocks.shape[0])
+        t1 = jnp.einsum(
+            "ny,lyx->nlx", m_oy, state.blocks.astype(jnp.float32)
+        )
+        cand_vals = jnp.einsum("nlx,nl,nx->n", t1, m_ol, m_ox).astype(
+            jnp.int32
+        )
+        cand_vals = jnp.where(
+            (mob_level == lvl) & (cand[:, 0] == ty) & (cand[:, 1] == tx),
+            tile_new.astype(jnp.int32),
+            cand_vals,
+        )
         move_ok = (
-            _WALKABLE[blocks[mob_level, cand[:, 0], cand[:, 1]]]
+            _WALKABLE[cand_vals]
             & mob_alive
             & (wants_chase | wants_walk)
         )
