@@ -433,7 +433,9 @@ WORKLOADS = {
     ),
     # hoisted-projection BPTT on the agent-flattened learn batch
     # (numerical equivalence + trajectory match:
-    # tests/test_fast_rnn.py::test_trainer_fast_bptt_vdn_matches_flax_closely)
+    # tests/test_fast_rnn.py::test_trainer_fast_bptt_vdn_matches_flax_closely;
+    # chip learning at the full 1e6 Spread config in-band: test return
+    # -37.9 fast vs -38.3 default)
     "vdn_spread_fast": dict(
         alg="pqn_vdn_spread",
         overrides=[
