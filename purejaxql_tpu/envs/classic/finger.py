@@ -1,0 +1,214 @@
+"""Finger domain: a 2-link torque-actuated finger spins/turns a free hinge.
+
+The dm-suite Finger{Spin,TurnEasy,TurnHard} rows of the reference's
+playground block (/root/reference/scripts/train_playground_all.sh:16-18),
+built on this package's own planar physics: the finger is a 2-link arm
+(proximal + distal, gravity + damping, torque servos — same integrator
+family as reacher.py/acrobot.py) and the "spinner" is a single free hinge
+with a rim the fingertip can engage through a penalty contact
+(normal spring push-out + tangential friction that transfers momentum to
+the spinner). All branchless; one fused XLA program per task.
+
+Tasks:
+  spin       — keep the spinner rotating: reward ramps with -omega (the
+               dm_control convention rewards sustained negative spin).
+  turn_easy  — bring the spinner's rim marker to a random target angle
+               (wide tolerance).
+  turn_hard  — same with a tight tolerance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from purejaxql_tpu.envs import spaces
+from purejaxql_tpu.envs.base import Environment
+
+
+@struct.dataclass
+class FingerState:
+    q: jax.Array         # (2,) joint angles
+    qd: jax.Array        # (2,) joint velocities
+    spin: jax.Array      # spinner hinge angle
+    spin_vel: jax.Array
+    target: jax.Array    # target rim angle (turn tasks; 0 for spin)
+    time: jax.Array
+
+
+@struct.dataclass
+class FingerParams:
+    link1: float = 0.17
+    link2: float = 0.16
+    m1: float = 0.35
+    m2: float = 0.25
+    gravity: float = 9.8
+    joint_damp: float = 0.08
+    torque: float = 1.2
+    # spinner: hinge at (cx, cy), rim radius r
+    cx: float = 0.18
+    cy: float = -0.18
+    radius: float = 0.10
+    spin_inertia: float = 0.0035
+    spin_damp: float = 0.002
+    contact_k: float = 120.0
+    friction: float = 2.0
+    dt: float = 0.004
+    substeps: int = struct.field(pytree_node=False, default=8)
+    max_steps_in_episode: int = struct.field(pytree_node=False, default=1000)
+
+
+class Finger(Environment):
+    TASKS = ("spin", "turn_easy", "turn_hard")
+
+    def __init__(self, task: str = "spin"):
+        assert task in self.TASKS, task
+        self.task = task
+
+    @property
+    def default_params(self) -> FingerParams:
+        return FingerParams()
+
+    @property
+    def name(self) -> str:
+        return {
+            "spin": "FingerSpin-v0",
+            "turn_easy": "FingerTurnEasy-v0",
+            "turn_hard": "FingerTurnHard-v0",
+        }[self.task]
+
+    def reset_env(self, key, params):
+        k1, k2, k3 = jax.random.split(key, 3)
+        q = jax.random.uniform(k1, (2,), minval=-0.3, maxval=0.3)
+        target = jnp.where(
+            self.task == "spin",
+            0.0,
+            jax.random.uniform(k2, (), minval=-jnp.pi, maxval=jnp.pi),
+        )
+        spin0 = jax.random.uniform(k3, (), minval=-jnp.pi, maxval=jnp.pi)
+        state = FingerState(
+            q=q,
+            qd=jnp.zeros(2),
+            spin=spin0,
+            spin_vel=jnp.asarray(0.0),
+            target=jnp.asarray(target),
+            time=jnp.asarray(0, jnp.int32),
+        )
+        return self.get_obs(state, params), state
+
+    def _tip(self, q, params):
+        # finger hangs from the origin; q measured from straight-down
+        a1 = q[0]
+        a2 = q[0] + q[1]
+        x = params.link1 * jnp.sin(a1) + params.link2 * jnp.sin(a2)
+        y = -params.link1 * jnp.cos(a1) - params.link2 * jnp.cos(a2)
+        return jnp.stack([x, y]), (a1, a2)
+
+    def _substep(self, s: FingerState, action, params):
+        tau = params.torque * action[:2]
+        # gravity torques for hanging 2-link chain (point masses at tips)
+        a1 = s.q[0]
+        a2 = s.q[0] + s.q[1]
+        g = params.gravity
+        g1 = -(params.m1 + params.m2) * g * params.link1 * jnp.sin(a1) \
+            - params.m2 * g * params.link2 * jnp.sin(a2)
+        g2 = -params.m2 * g * params.link2 * jnp.sin(a2)
+
+        # fingertip / spinner rim contact
+        tip, _ = self._tip(s.q, params)
+        rel = tip - jnp.array([params.cx, params.cy])
+        dist = jnp.linalg.norm(rel) + 1e-8
+        pen = jnp.maximum(params.radius - dist, 0.0)
+        n = rel / dist
+        # tip velocity via the Jacobian of the 2-link chain
+        j11 = params.link1 * jnp.cos(a1) + params.link2 * jnp.cos(a2)
+        j12 = params.link2 * jnp.cos(a2)
+        j21 = params.link1 * jnp.sin(a1) + params.link2 * jnp.sin(a2)
+        j22 = params.link2 * jnp.sin(a2)
+        J = jnp.array([[j11, j12], [j21, j22]])
+        v_tip = J @ s.qd
+        # rim surface velocity at the contact point (tangent direction)
+        t_dir = jnp.array([-n[1], n[0]])
+        v_rim = s.spin_vel * params.radius * t_dir
+        v_rel_t = jnp.dot(v_tip - v_rim, t_dir)
+        f_n = params.contact_k * pen * n
+        f_t = -params.friction * v_rel_t * t_dir * (pen > 0)
+        f = f_n + f_t
+        tau_contact = J.T @ f
+        spin_acc = (
+            params.friction * v_rel_t * (pen > 0) * params.radius
+            - params.spin_damp * s.spin_vel
+        ) / params.spin_inertia
+
+        # inertias about each joint (diagonal approximation)
+        i1 = (params.m1 + params.m2) * params.link1**2 \
+            + params.m2 * params.link2**2
+        i2 = params.m2 * params.link2**2
+        qdd = jnp.stack(
+            [
+                (tau[0] + g1 + tau_contact[0] - params.joint_damp * s.qd[0]) / i1,
+                (tau[1] + g2 + tau_contact[1] - params.joint_damp * s.qd[1]) / i2,
+            ]
+        )
+        qd = jnp.clip(s.qd + qdd * params.dt, -25.0, 25.0)
+        q = jnp.clip(s.q + qd * params.dt, -2.0, 2.0)
+        qd = jnp.where(jnp.abs(q) >= 2.0, 0.0, qd)  # joint stops
+        spin_vel = s.spin_vel + spin_acc * params.dt
+        spin = s.spin + spin_vel * params.dt
+        return s.replace(q=q, qd=qd, spin=spin, spin_vel=spin_vel)
+
+    def step_env(self, key, state, action, params):
+        action = jnp.clip(action, -1.0, 1.0)
+        s = jax.lax.scan(
+            lambda c, _: (self._substep(c, action, params), None),
+            state,
+            None,
+            length=params.substeps,
+        )[0]
+        s = s.replace(time=state.time + 1)
+
+        if self.task == "spin":
+            reward = jnp.clip(-s.spin_vel / 10.0, 0.0, 1.0)
+        else:
+            tol = 0.6 if self.task == "turn_easy" else 0.15
+            err = jnp.arctan2(
+                jnp.sin(s.spin - s.target), jnp.cos(s.spin - s.target)
+            )
+            reward = jnp.exp(-(err**2) / (2 * tol**2))
+        reward = reward - 0.01 * jnp.sum(action**2)
+        done = s.time >= params.max_steps_in_episode
+        return (
+            jax.lax.stop_gradient(self.get_obs(s, params)),
+            jax.lax.stop_gradient(s),
+            reward.astype(jnp.float32),
+            done,
+            {},
+        )
+
+    def get_obs(self, state, params=None):
+        params = params or self.default_params
+        tip, _ = self._tip(state.q, params)
+        return jnp.concatenate(
+            [
+                jnp.sin(state.q), jnp.cos(state.q), state.qd / 10.0,
+                jnp.stack(
+                    [
+                        jnp.sin(state.spin), jnp.cos(state.spin),
+                        state.spin_vel / 10.0,
+                        jnp.sin(state.target), jnp.cos(state.target),
+                    ]
+                ),
+                tip,
+            ]
+        ).astype(jnp.float32)
+
+    def is_terminal(self, state, params):
+        return state.time >= params.max_steps_in_episode
+
+    def observation_space(self, params):
+        return spaces.Box(-np.inf, np.inf, (13,), np.float32)
+
+    def action_space(self, params=None):
+        return spaces.Box(-1.0, 1.0, (2,), np.float32)

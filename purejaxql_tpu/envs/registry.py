@@ -98,6 +98,96 @@ def _populate():
     _REGISTRY["PegInsert-v0"] = PegInsert
     _REGISTRY["BlockRotate-v0"] = BlockRotate
 
+    # locomotion-class tasks (reference family:
+    # train_playground_all.sh:53-114 — quadruped + humanoid joystick block).
+    # Names mirror the reference's playground registry 1:1; each resolves
+    # to a (robot preset, task) pair on the shared 3D SLIP dynamics.
+    from purejaxql_tpu.envs.classic.locomotion3d import Quadruped, Biped3D
+
+    def _quad(task, robot):
+        def ctor(name=None, **kw):
+            return Quadruped(task=task, robot=robot, name=name, **kw)
+
+        return ctor
+
+    def _biped(task, robot):
+        def ctor(name=None, **kw):
+            return Biped3D(task=task, robot=robot, name=name, **kw)
+
+        return ctor
+
+    _loco = {
+        "Go1JoystickFlatTerrain": _quad("joystick", "go1"),
+        "Go1JoystickRoughTerrain": _quad("joystick_rough", "go1"),
+        "Go1Getup": _quad("getup", "go1"),
+        "Go1Handstand": _quad("handstand", "go1"),
+        "Go1Footstand": _quad("footstand", "go1"),
+        "SpotFlatTerrainJoystick": _quad("joystick", "spot"),
+        "SpotGetup": _quad("getup", "spot"),
+        "SpotJoystickGaitTracking": _quad("inplace", "spot"),
+        "BarkourJoystick": _quad("joystick", "barkour"),
+        "G1JoystickFlatTerrain": _biped("joystick", "g1"),
+        "G1JoystickRoughTerrain": _biped("joystick_rough", "g1"),
+        "BerkeleyHumanoidJoystickFlatTerrain": _biped("joystick", "berkeley"),
+        "BerkeleyHumanoidJoystickRoughTerrain": _biped(
+            "joystick_rough", "berkeley"
+        ),
+        "T1JoystickFlatTerrain": _biped("joystick", "t1"),
+        "T1JoystickRoughTerrain": _biped("joystick_rough", "t1"),
+        "ApolloJoystickFlatTerrain": _biped("joystick", "apollo"),
+        "Op3Joystick": _biped("joystick", "op3"),
+        "H1InplaceGaitTracking": _biped("inplace", "h1"),
+        "H1JoystickGaitTracking": _biped("joystick", "h1"),
+        # dm-suite humanoid rows (train_playground_all.sh:22-24)
+        "HumanoidStand": _biped("stand", "humanoid"),
+        "HumanoidWalk": _biped("walk", "humanoid"),
+        "HumanoidRun": _biped("run", "humanoid"),
+    }
+    for _name, _ctor in _loco.items():
+        _REGISTRY[_name] = partial(_ctor, name=_name)
+
+    # exact playground dm-suite names (train_playground_all.sh:7-33) so the
+    # reference's `alg.ENV_NAME=<task>` overrides resolve unchanged; each is
+    # the same ctor as its in-tree "-v0" registration
+    _REGISTRY["AcrobotSwingup"] = AcrobotSwingup
+    _REGISTRY["AcrobotSwingupSparse"] = partial(AcrobotSwingup, sparse=True)
+    _REGISTRY["BallInCup"] = BallInCup
+    _REGISTRY["CartpoleBalance"] = partial(CartPoleSwingUp, task="balance")
+    _REGISTRY["CartpoleBalanceSparse"] = partial(
+        CartPoleSwingUp, task="balance_sparse"
+    )
+    _REGISTRY["CartpoleSwingup"] = CartPoleSwingUp
+    _REGISTRY["CartpoleSwingupSparse"] = partial(
+        CartPoleSwingUp, task="swingup_sparse"
+    )
+    _REGISTRY["CheetahRun"] = Cheetah
+    _REGISTRY["HopperHop"] = partial(Hopper, task="hop")
+    _REGISTRY["HopperStand"] = partial(Hopper, task="stand")
+    _REGISTRY["PendulumSwingup"] = Pendulum
+    _REGISTRY["PointMass"] = PointMass
+    _REGISTRY["ReacherEasy"] = partial(Reacher, task="easy")
+    _REGISTRY["ReacherHard"] = partial(Reacher, task="hard")
+    _REGISTRY["SwimmerSwimmer6"] = Swimmer
+    _REGISTRY["WalkerRun"] = partial(Walker, task="run")
+    _REGISTRY["WalkerStand"] = partial(Walker, task="stand")
+    _REGISTRY["WalkerWalk"] = partial(Walker, task="walk")
+    _REGISTRY["WalkerWalk-v0"] = partial(Walker, task="walk")
+    _REGISTRY["HopperHop-v0"] = partial(Hopper, task="hop")
+    _REGISTRY["PendulumSwingup-v0"] = Pendulum
+
+    # finger + fish dm-suite domains (train_playground_all.sh:16-20)
+    from purejaxql_tpu.envs.classic.finger import Finger
+    from purejaxql_tpu.envs.classic.fish import Fish
+
+    _REGISTRY["FingerSpin"] = partial(Finger, task="spin")
+    _REGISTRY["FingerTurnEasy"] = partial(Finger, task="turn_easy")
+    _REGISTRY["FingerTurnHard"] = partial(Finger, task="turn_hard")
+    _REGISTRY["FingerSpin-v0"] = partial(Finger, task="spin")
+    _REGISTRY["FingerTurnEasy-v0"] = partial(Finger, task="turn_easy")
+    _REGISTRY["FingerTurnHard-v0"] = partial(Finger, task="turn_hard")
+    _REGISTRY["FishSwim"] = Fish
+    _REGISTRY["FishSwim-v0"] = Fish
+
     try:
         from purejaxql_tpu.envs.minatar import (
             MinBreakout,
