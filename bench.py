@@ -234,7 +234,7 @@ WORKLOADS = {
     # bitwise-parity configurations (detail + headline fallback).
     "cartpole_parity": dict(
         alg="pqn_cartpole",
-        overrides=["COLLECT_METRICS=False"],
+        overrides=["COLLECT_METRICS=False", "PARITY=strict"],
         total=int(5e5),
     ),
     "minatar_parity": dict(
@@ -244,6 +244,7 @@ WORKLOADS = {
             "TOTAL_TIMESTEPS=2000000",
             "TOTAL_TIMESTEPS_DECAY=2000000",
             "COLLECT_METRICS=False",
+            "PARITY=strict",
         ],
         total=int(2e6),
     ),
@@ -253,6 +254,7 @@ WORKLOADS = {
             "TOTAL_TIMESTEPS=1024000",
             "TOTAL_TIMESTEPS_DECAY=1024000",
             "COLLECT_METRICS=False",
+            "PARITY=strict",
         ],
         total=int(1024000),
     ),
@@ -290,6 +292,7 @@ WORKLOADS = {
             "TOTAL_TIMESTEPS=2000000",
             "TOTAL_TIMESTEPS_DECAY=2000000",
             "COLLECT_METRICS=False",
+            "PARITY=strict",
             "EVAL_SUBSAMPLE=8",
         ],
         total=int(2e6),
@@ -301,6 +304,7 @@ WORKLOADS = {
             "TOTAL_TIMESTEPS=2000000",
             "TOTAL_TIMESTEPS_DECAY=2000000",
             "COLLECT_METRICS=False",
+            "PARITY=strict",
             "BF16_COMPUTE=True",
         ],
         total=int(2e6),
@@ -341,7 +345,7 @@ WORKLOADS = {
     # vmapped into one program; detail row, reports AGGREGATE steps/s
     "cartpole_seeds64": dict(
         alg="pqn_cartpole",
-        overrides=["COLLECT_METRICS=False"],
+        overrides=["COLLECT_METRICS=False", "PARITY=strict"],
         total=int(5e5) * 64,
         n_seeds=64,
     ),
@@ -352,7 +356,7 @@ WORKLOADS = {
     # physics) as ONE Pallas kernel (ops/pallas_rollout.py).
     "pendulum_ac": dict(
         alg="pqn_pendulum",
-        overrides=["COLLECT_METRICS=False"],
+        overrides=["COLLECT_METRICS=False", "PARITY=strict"],
         total=int(1e6),
         family="pqn_ac",
     ),
@@ -361,7 +365,11 @@ WORKLOADS = {
     # VDN-RNN trainer on Spread at their shipped configs.
     "rnn_cartpole": dict(
         alg="pqn_rnn_cartpole",
-        overrides=["COLLECT_METRICS=False", "TEST_DURING_TRAINING=False"],
+        overrides=[
+            "COLLECT_METRICS=False",
+            "TEST_DURING_TRAINING=False",
+            "PARITY=strict",
+        ],
         total=int(5e5),
         family="pqn_rnn",
     ),
@@ -389,6 +397,7 @@ WORKLOADS = {
             "TOTAL_TIMESTEPS=2621440",
             "TOTAL_TIMESTEPS_DECAY=1000000000",
             "COLLECT_METRICS=False",
+            "PARITY=strict",
         ],
         total=int(2621440),
         family="pqn_rnn",
@@ -427,7 +436,11 @@ WORKLOADS = {
     ),
     "vdn_spread": dict(
         alg="pqn_vdn_spread",
-        overrides=["COLLECT_METRICS=False", "TEST_DURING_TRAINING=False"],
+        overrides=[
+            "COLLECT_METRICS=False",
+            "TEST_DURING_TRAINING=False",
+            "PARITY=strict",
+        ],
         total=int(1e6),
         family="pqn_vdn",
     ),

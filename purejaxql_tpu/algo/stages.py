@@ -273,6 +273,11 @@ def train_stepwise(
             and checkpoint_path
             and (update + 1) % checkpoint_every == 0
         ):
-            save_state(train_state, checkpoint_path)
+            from purejaxql_tpu.parallel.mesh import is_main_process
+
+            # multi-host: one writer (params are replicated; N processes
+            # racing on the same path would corrupt the checkpoint)
+            if is_main_process():
+                save_state(train_state, checkpoint_path)
 
     return train_state, history

@@ -42,6 +42,7 @@ def _select_make_train(config):
 
 def single_run(config):
     from purejaxql_tpu.core.checkpoint import save_run
+    from purejaxql_tpu.parallel.mesh import is_main_process
     from purejaxql_tpu.utils.logging import make_logger
 
     alg_name = config.get("ALG_NAME", "pqn")
@@ -58,6 +59,20 @@ def single_run(config):
         if config["NUM_SEEDS"] != 1:
             raise SystemExit("pqn_host supports NUM_SEEDS=1 only")
         train_vjit = jax.jit(make_train(config))
+        train_vjit = (lambda f: (lambda rngs: jax.tree_util.tree_map(
+            lambda x: x[None], f(rngs[0]))))(train_vjit)
+    elif config.get("FUSED_ROLLOUT", False):
+        # the fused-rollout Pallas kernels are single-seed programs (no
+        # batched grid): run unvmapped, re-add the seed axis for the
+        # save/log paths. FUSED_ROLLOUT auto-resolves only at NUM_SEEDS=1
+        # (core/config.resolve_fast_paths); an explicit multi-seed request
+        # gets a clear error instead of a vmap trace failure.
+        if config["NUM_SEEDS"] != 1:
+            raise SystemExit(
+                "FUSED_ROLLOUT supports NUM_SEEDS=1 only (single-seed "
+                "Pallas kernel); drop the flag or run one seed"
+            )
+        train_vjit = jax.jit(make_train(config, logger=logger))
         train_vjit = (lambda f: (lambda rngs: jax.tree_util.tree_map(
             lambda x: x[None], f(rngs[0]))))(train_vjit)
     else:
@@ -88,7 +103,9 @@ def single_run(config):
         logger.log_history(outs["metrics"])
     logger.close()
 
-    if config.get("SAVE_PATH"):
+    # multi-host: params are replicated over the mesh, so exactly one
+    # process writes the checkpoint (SURVEY.md §5 distributed plan)
+    if config.get("SAVE_PATH") and is_main_process():
         save_dir = os.path.join(config["SAVE_PATH"], env_name)
         run_name = f"{alg_name}_{env_name}_seed{config['SEED']}"
         params = (
@@ -123,6 +140,7 @@ def _stepwise_run(config, logger):
     """
     from purejaxql_tpu.algo.stages import make_stages, train_stepwise
     from purejaxql_tpu.core.checkpoint import load_state, save_state
+    from purejaxql_tpu.parallel.mesh import is_main_process
 
     ckpt_path = config.get("CHECKPOINT_PATH") or os.path.join(
         config.get("SAVE_PATH") or ".", f"{config['ENV_NAME']}_state.safetensors"
@@ -157,10 +175,11 @@ def _stepwise_run(config, logger):
             on_update(int(train_state.n_updates), {"td_loss": float(loss)})
             if config.get("CHECKPOINT_EVERY") and (
                 (update + 1) % config["CHECKPOINT_EVERY"] == 0
-            ):
+            ) and is_main_process():
                 save_state(train_state, ckpt_path)
-        save_state(train_state, ckpt_path)
-        print(f"State saved to {ckpt_path}")
+        if is_main_process():
+            save_state(train_state, ckpt_path)
+            print(f"State saved to {ckpt_path}")
         logger.close()
         return train_state
 
@@ -171,9 +190,10 @@ def _stepwise_run(config, logger):
         checkpoint_path=ckpt_path,
         on_update=on_update,
     )
-    os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
-    save_state(ts, ckpt_path)
-    print(f"State saved to {ckpt_path}")
+    if is_main_process():
+        os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
+        save_state(ts, ckpt_path)
+        print(f"State saved to {ckpt_path}")
     logger.close()
     return ts
 
@@ -188,6 +208,12 @@ def tune(config):
 
 def main(argv=None):
     from purejaxql_tpu.core.config import compose
+    from purejaxql_tpu.parallel.mesh import init_distributed
+
+    # Multi-host pods: join the cluster BEFORE any backend/device use
+    # (compose() below queries the backend for the fast-path policy).
+    # No-op unless cluster env vars / Cloud-TPU metadata are present.
+    init_distributed()
 
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] in ("-h", "--help"):

@@ -96,7 +96,127 @@ def compose(
             raise ValueError(f"Override '{ov}' is not KEY=value")
         key, raw = ov.split("=", 1)
         _set_by_path(flat, key.lstrip("+"), _parse_value(raw))
-    return flat
+    # default-performance policy: on TPU, auto-enable the eligible
+    # learning-verified fast paths (PARITY=strict restores bit-exact
+    # reference behavior; explicitly-set flags always win)
+    return resolve_fast_paths(flat)
+
+
+# Envs with a single-seed Pallas mega-kernel rollout (algo/pqn.py
+# fused_game_rollout / ops/pallas_rollout.py).
+_FUSED_GAMES = (
+    "Breakout-MinAtar", "Asterix-MinAtar", "Freeway-MinAtar",
+    "SpaceInvaders-MinAtar", "Seaquest-MinAtar", "CartPole-v1",
+)
+
+
+def _fused_rollout_eligible(config: Dict[str, Any]) -> bool:
+    """Mirror of the trainers' FUSED_ROLLOUT constraint checks
+    (algo/pqn.py:243-258, algo/pqn_ac.py:143-158), plus the single-seed
+    requirement (the kernels are not vmappable over seeds)."""
+    if config.get("NUM_SEEDS", 1) != 1:
+        return False
+    alg = str(config.get("ALG_NAME", "pqn"))
+    if alg in ("pqn", "pqn_craftax"):
+        return (
+            config.get("ENV_NAME") in _FUSED_GAMES
+            and not config.get("USE_OPTIMISTIC_RESETS", False)
+            and not config.get("BATCH_ENV", False)
+            and config.get("NORM_TYPE") == "layer_norm"
+            and not config.get("NORM_INPUT", False)
+            and (
+                config.get("ENV_NAME") != "CartPole-v1"
+                or config.get("NUM_LAYERS", 2) == 2
+            )
+        )
+    if alg in ("pqn_ac", "pqn_playground"):
+        return (
+            config.get("ENV_NAME") == "Pendulum-v1"
+            and config.get("NORM_TYPE") == "layer_norm"
+            and not config.get("NORM_INPUT", False)
+            and not config.get("NORMALIZE_OBS", False)
+            and not config.get("NORMALIZE_REWARD", False)
+            and len(config.get("ACTOR_HIDDEN_SIZES") or ()) == 2
+            and len(config.get("CRITIC_HIDDEN_SIZES") or ()) == 2
+            and config.get("NUM_CRITICS", 2) == 2
+            and config.get("ACTIVATION", "relu") == "relu"
+        )
+    return False
+
+
+def resolve_fast_paths(
+    config: Dict[str, Any], backend: Optional[str] = None
+) -> Dict[str, Any]:
+    """TPU default-performance policy.
+
+    On a TPU backend, turn ON every learning-verified fast path the
+    composed config is eligible for — so a user running a migrated
+    reference config unchanged gets this framework's performance, not
+    reference-speed. Two escape hatches, both per-key-respecting:
+
+    - ``PARITY=strict`` disables all auto-enabling: the program stays
+      bit-compatible with the reference engine (same RNG stream, same
+      reduction orders) — the mode the bitwise parity suite and the
+      bench's ``*_parity`` rows run in.
+    - Any flag the user (or an alg YAML) sets explicitly always wins;
+      resolution only fills in absent keys.
+
+    Non-TPU backends are left untouched: the fast paths are TPU-first
+    designs (Pallas kernels, MXU-shaped BPTT hoisting) and the CPU test
+    suite doubles as the strict-semantics reference.
+
+    Flags and their verification trail (ROADMAP.md / BENCH_DETAILS.json):
+    FUSED_ROLLOUT (+EVAL_EARLY_EXIT), FAST_TARGETS, SKIP_NOOP_PERMUTE,
+    RESET_BANK=256, FAST_BPTT. PALLAS_BPTT stays opt-in: its grad-step
+    kernels pay a pathological first-run warmup on tunneled runtimes
+    (bench.py rnn_cartpole_pallas note).
+    """
+    if str(config.get("PARITY", "fast")).lower() == "strict":
+        return config
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    if backend != "tpu":
+        return config
+
+    config = dict(config)
+    alg = str(config.get("ALG_NAME", "pqn"))
+
+    def _default(key: str, value: Any) -> None:
+        if key not in config or config[key] is None:
+            config[key] = value
+
+    if alg in ("pqn", "pqn_craftax"):
+        if _fused_rollout_eligible(config):
+            _default("FUSED_ROLLOUT", True)
+            if config["FUSED_ROLLOUT"]:
+                _default("EVAL_EARLY_EXIT", True)
+        if (not config.get("Q_LAMBDA", True)) and config.get(
+            "NORM_TYPE"
+        ) == "layer_norm":
+            _default("FAST_TARGETS", True)
+        if config.get("NUM_MINIBATCHES", 1) == 1:
+            _default("SKIP_NOOP_PERMUTE", True)
+        if config.get("USE_OPTIMISTIC_RESETS", False):
+            _default("RESET_BANK", 256)
+    elif alg.startswith("pqn_rnn") or alg.startswith("pqn_vdn"):
+        try:
+            from purejaxql_tpu.ops.fast_rnn import supports_fast_bptt
+
+            if supports_fast_bptt(config):
+                _default("FAST_BPTT", True)
+        except Exception:
+            pass
+        if alg.startswith("pqn_rnn") and config.get(
+            "USE_OPTIMISTIC_RESETS", False
+        ):
+            _default("RESET_BANK", 256)
+    elif alg in ("pqn_ac", "pqn_playground") and _fused_rollout_eligible(
+        config
+    ):
+        _default("FUSED_ROLLOUT", True)
+    return config
 
 
 def derive_pqn_schedule_keys(config: Dict[str, Any]) -> Dict[str, Any]:

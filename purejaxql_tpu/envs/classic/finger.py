@@ -129,16 +129,20 @@ class Finger(Environment):
         j22 = params.link2 * jnp.sin(a2)
         J = jnp.array([[j11, j12], [j21, j22]])
         v_tip = J @ s.qd
-        # rim surface velocity at the contact point (tangent direction)
+        # rim material velocity at the contact point (tangent direction);
+        # during penetration the contact point sits at distance `dist`
+        # (< radius) from the hinge, so both the surface speed and the
+        # reaction moment arm use `dist` — keeping the tip/spinner
+        # action-reaction pair consistent (momentum bookkeeping)
         t_dir = jnp.array([-n[1], n[0]])
-        v_rim = s.spin_vel * params.radius * t_dir
+        v_rim = s.spin_vel * dist * t_dir
         v_rel_t = jnp.dot(v_tip - v_rim, t_dir)
         f_n = params.contact_k * pen * n
         f_t = -params.friction * v_rel_t * t_dir * (pen > 0)
         f = f_n + f_t
         tau_contact = J.T @ f
         spin_acc = (
-            params.friction * v_rel_t * (pen > 0) * params.radius
+            params.friction * v_rel_t * (pen > 0) * dist
             - params.spin_damp * s.spin_vel
         ) / params.spin_inertia
 
@@ -170,6 +174,12 @@ class Finger(Environment):
         s = s.replace(time=state.time + 1)
 
         if self.task == "spin":
+            # NOTE deliberate shaping difference from dm_control: the
+            # reference's spin task pays a binary [0,1] tolerance at
+            # spin velocity <= -15 rad/s; this dense ramp (saturating at
+            # -10 rad/s) trades score-parity for a learnable gradient on
+            # this package's penalty-contact physics. FingerSpin returns
+            # are therefore NOT numerically comparable to dm_control's.
             reward = jnp.clip(-s.spin_vel / 10.0, 0.0, 1.0)
         else:
             tol = 0.6 if self.task == "turn_easy" else 0.15

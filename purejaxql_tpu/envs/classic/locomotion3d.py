@@ -243,6 +243,22 @@ class _Legged3D(Environment):
         f = jnp.where(s.stance, f, 0.0)
         fx, fy, fz = f * ux, f * uy, f * uz
 
+        # tangential foot anchor (friction-cone capped): a planted foot is
+        # pinned by ground friction, so the horizontal hip-over-foot offset
+        # is resisted by a spring-damper. Without it the radial-only spring
+        # leaves static standing an unstable inverted pendulum — any
+        # horizontal drift tilts every leg axis outward and grows until
+        # liftoff. Magnitude is capped at mu * axial load (a foot cannot
+        # pull sideways harder than friction allows), which keeps the
+        # anchor Coulomb-like at walking speed instead of gluing the body
+        # over its feet.
+        at_x = -0.15 * params.spring_k * lx - params.damping * s.vx
+        at_y = -0.15 * params.spring_k * ly - params.damping * s.vy
+        at_mag = jnp.sqrt(at_x * at_x + at_y * at_y) + 1e-8
+        cone = jnp.minimum(1.0, 0.8 * f / at_mag)
+        fx = fx + jnp.where(s.stance, at_x * cone, 0.0)
+        fy = fy + jnp.where(s.stance, at_y * cone, 0.0)
+
         ax = fx.sum() / params.mass
         ay = fy.sum() / params.mass
         az = fz.sum() / params.mass - params.gravity
@@ -422,7 +438,10 @@ class _Legged3D(Environment):
             [
                 jnp.sin(s.sag), jnp.cos(s.sag), s.lat,
                 s.stance.astype(jnp.float32),
-                jnp.maximum(s.leg_rest - l, 0.0) / params.leg_length,
+                # spring load is gated on stance like the force itself is:
+                # a swing leg passing near its stale foot point carries no
+                # load and must read zero compression
+                s.stance * jnp.maximum(s.leg_rest - l, 0.0) / params.leg_length,
             ]
         )  # (5, L)
         return jnp.concatenate(

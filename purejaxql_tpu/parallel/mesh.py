@@ -22,16 +22,41 @@ from jax.sharding import Mesh
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
-    """Initialize jax.distributed for multi-host pods. Falls back to a
-    no-op for single-process runs (no coordinator discoverable)."""
-    if coordinator_address is not None:
-        jax.distributed.initialize(coordinator_address, num_processes, process_id)
-    else:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-process run
+                     process_id: Optional[int] = None,
+                     local_device_ids: Optional[Sequence[int]] = None) -> None:
+    """Initialize jax.distributed for multi-host pods.
+
+    With explicit arguments (or cluster env vars: JAX_COORDINATOR_ADDRESS /
+    the Cloud-TPU metadata jax.distributed auto-detects), initialization is
+    REQUIRED to succeed — a mis-configured pod must fail loudly, not fall
+    back to N isolated single-process runs that silently train N disjoint
+    models. Only when no coordinator is discoverable at all does this
+    no-op (the ordinary single-host workflow)."""
+    import os
+
+    explicit = coordinator_address is not None or any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ) or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if explicit:
+        jax.distributed.initialize(
+            coordinator_address, num_processes, process_id,
+            local_device_ids=local_device_ids,
+        )
+        return
+    try:
+        jax.distributed.initialize()
+    except Exception:  # no cluster metadata discoverable
+        if num_processes not in (None, 1):
+            raise  # a multi-process run was requested: fail loudly
+        # ordinary single-host workflow: run un-distributed
 
 
 def make_mesh(

@@ -141,6 +141,16 @@ class MetricLogger:
 
 
 def make_logger(config: Dict[str, Any]) -> MetricLogger:
+    # Multi-host: only process 0 owns sinks — on a 2-host pod every
+    # process traces the same program and would otherwise write duplicate
+    # log rows/files (metrics are pmean'd over the mesh, so process 0's
+    # stream is the global one). LOG_ALL_PROCESSES=True opts out for
+    # per-host debugging.
+    if not config.get("LOG_ALL_PROCESSES", False):
+        from purejaxql_tpu.parallel.mesh import is_main_process
+
+        if not is_main_process():
+            return MetricLogger([])
     sinks: List[Sink] = []
     mode = str(config.get("LOG_MODE", config.get("WANDB_MODE", "disabled")))
     if config.get("LOG_CONSOLE", False):
