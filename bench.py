@@ -278,6 +278,23 @@ WORKLOADS = {
         ],
         total=int(1024000),
     ),
+    # Mixed-precision craftax learn phase: f32 master weights + input
+    # batch-renorm, bf16 trunk GEMMs with bf16 kept through LayerNorm
+    # (models/qnet.py). The craftax learn phase is the one MXU-bound
+    # workload (1024x1024 GEMMs at batch 1024), so bf16 doubles the MXU
+    # rate where minatar_bf16 (latency-bound) could not.
+    "craftax_bf16": dict(
+        alg="pqn_craftax",
+        overrides=[
+            "TOTAL_TIMESTEPS=1024000",
+            "TOTAL_TIMESTEPS_DECAY=1024000",
+            "COLLECT_METRICS=False",
+            "RESET_BANK=256",
+            "FAST_TARGETS=True",
+            "BF16_COMPUTE=True",
+        ],
+        total=int(1024000),
+    ),
     # bf16 trunk fast path (opt-in, non-default): learning verified on
     # Breakout (test return 26.9 vs 28.5 f32 on the same budget); detail
     # row only.
@@ -553,7 +570,7 @@ def run_workload(name: str) -> float:
 # BENCH_DETAILS.json history) and the headline geomean still prints.
 _PRIORITY = [
     "cartpole_fused", "minatar_fused", "craftax_fast",
-    "cartpole_parity", "minatar_parity", "craftax",
+    "cartpole_parity", "minatar_parity", "craftax", "craftax_bf16",
     "rnn_cartpole_fast", "rnn_craftax_fast", "rnn_craftax",
     "minatar_eval8", "pendulum_ac_fused", "cartpole_seeds64",
     "pendulum_ac", "vdn_spread_fast", "vdn_spread", "rnn_cartpole",

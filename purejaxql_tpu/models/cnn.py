@@ -19,12 +19,24 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
-def _make_normalizer(norm_type: str, train: bool, axis_name: Optional[str]):
+def _make_normalizer(
+    norm_type: str,
+    train: bool,
+    axis_name: Optional[str],
+    dtype: Optional[jnp.dtype] = None,
+):
+    # Mixed precision: keep the tensor in the trunk compute dtype through
+    # the norm layers (flax computes norm STATISTICS in f32 internally
+    # regardless) — without this every conv/dense output bounces
+    # bf16 -> f32 -> bf16 around each norm, which is why the first
+    # BF16_COMPUTE attempt measured SLOWER than f32 on MinAtar. For f32
+    # (dtype None) the traced program is unchanged.
+    ln_dtype = None if dtype in (None, jnp.float32) else dtype
     if norm_type == "layer_norm":
-        return lambda h: nn.LayerNorm()(h)
+        return lambda h: nn.LayerNorm(dtype=ln_dtype)(h)
     if norm_type == "batch_norm":
         return lambda h: nn.BatchNorm(
-            use_running_average=not train, axis_name=axis_name
+            use_running_average=not train, axis_name=axis_name, dtype=ln_dtype
         )(h)
     if norm_type == "batch_renorm":
         from purejaxql_tpu.models.batch_renorm import BatchRenorm
@@ -45,7 +57,9 @@ class MinAtarCNN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
-        normalize = _make_normalizer(self.norm_type, train, self.norm_axis_name)
+        normalize = _make_normalizer(
+            self.norm_type, train, self.norm_axis_name, self.dtype
+        )
         x = nn.Conv(
             16,
             kernel_size=(3, 3),
@@ -73,7 +87,9 @@ class NatureCNN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
-        normalize = _make_normalizer(self.norm_type, train, self.norm_axis_name)
+        normalize = _make_normalizer(
+            self.norm_type, train, self.norm_axis_name, self.dtype
+        )
         for features, kernel, stride in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
             x = nn.Conv(
                 features,
@@ -109,7 +125,8 @@ class CNNQNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
-        x = x.astype(self.dtype)
+        # input norm runs in f32 (running statistics must not quantize);
+        # the trunk casts once below and stays in the compute dtype
         input_norm = nn.BatchNorm(
             use_running_average=not train, axis_name=self.norm_axis_name
         )
@@ -118,6 +135,7 @@ class CNNQNetwork(nn.Module):
         else:
             _ = input_norm(x)
             x = x / self.input_scale
+        x = x.astype(self.dtype)
         # name="CNN_0": flax folds the module path into every param's init
         # key, and the reference's trunk class is named `CNN` in both the
         # minatar and atari scripts (pqn_minatar.py:24, pqn_atari.py:27) —

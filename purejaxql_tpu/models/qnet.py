@@ -37,7 +37,6 @@ class QNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
-        x = x.astype(self.dtype)
         if self.input_norm_type == "batch_renorm":
             from purejaxql_tpu.models.batch_renorm import BatchRenorm
 
@@ -54,8 +53,19 @@ class QNetwork(nn.Module):
             # Instantiate unused so the param tree is config-independent.
             _ = input_norm(x)
 
+        # Mixed precision (BF16_COMPUTE): the input norm above runs in f32
+        # (running statistics must not quantize); the trunk casts once here
+        # and stays bf16 end-to-end — Dense GEMMs hit the MXU at bf16 rate
+        # and LayerNorm keeps the tensor in bf16 (flax computes the norm
+        # statistics in f32 internally either way). Params stay f32 master
+        # weights (flax param_dtype default), so the optimizer sees full
+        # precision. For dtype=f32 this whole block is the identity and
+        # the traced program is unchanged (bitwise parity path).
+        x = x.astype(self.dtype)
+        ln_dtype = None if self.dtype == jnp.float32 else self.dtype
+
         if self.norm_type == "layer_norm":
-            normalize = lambda h: nn.LayerNorm()(h)
+            normalize = lambda h: nn.LayerNorm(dtype=ln_dtype)(h)
         elif self.norm_type == "batch_norm":
             normalize = lambda h: nn.BatchNorm(
                 use_running_average=not train, axis_name=self.norm_axis_name
