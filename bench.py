@@ -648,9 +648,18 @@ def main():
                 "vs_a40_baseline": None,
                 "backend": "cpu (host callbacks unavailable on axon)",
             }
+            if "async_steps_per_s" in host_train:
+                # ASYNC_ENVS lag-1 pipeline: env stepping overlaps learn
+                details["host_pong_train_async"] = {
+                    "env_steps_per_s": round(host_train["async_steps_per_s"]),
+                    "vs_sync_bridge": host_train.get("async_over_sync"),
+                    "vs_a40_baseline": None,
+                    "backend": "cpu (host callbacks unavailable on axon)",
+                }
             print(
                 f"# host_pong_train_e2e: {host_train['steps_per_s']:,.0f} "
-                "env-steps/s",
+                f"env-steps/s (async: "
+                f"{host_train.get('async_steps_per_s', 0):,.0f})",
                 file=sys.stderr,
             )
         except Exception as e:

@@ -293,6 +293,11 @@ def make_train(
                                 cell_type=config.get("RNN_CELL", "gru"),
                                 input_norm_type=input_norm_type,
                                 pallas=config.get("PALLAS_BPTT", False),
+                                compute_dtype=(
+                                    jnp.bfloat16
+                                    if config.get("BF16_COMPUTE", False)
+                                    else jnp.float32
+                                ),
                             )
                             updates = {"batch_stats": new_bs}
                         else:

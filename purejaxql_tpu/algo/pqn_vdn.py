@@ -334,6 +334,11 @@ def make_train(
                                 add_last_action=False,
                                 norm_input=config.get("NORM_INPUT", False),
                                 pallas=config.get("PALLAS_BPTT", False),
+                                compute_dtype=(
+                                    jnp.bfloat16
+                                    if config.get("BF16_COMPUTE", False)
+                                    else jnp.float32
+                                ),
                             )
                             updates = {"batch_stats": new_bs}
                         else:

@@ -58,9 +58,17 @@ def single_run(config):
         # host envs are stateful: single-seed, no vmap (pqn_atari.py:457-458)
         if config["NUM_SEEDS"] != 1:
             raise SystemExit("pqn_host supports NUM_SEEDS=1 only")
-        train_vjit = jax.jit(make_train(config))
-        train_vjit = (lambda f: (lambda rngs: jax.tree_util.tree_map(
-            lambda x: x[None], f(rngs[0]))))(train_vjit)
+        if config.get("ASYNC_ENVS", False):
+            # lag-1 pipelined host trainer: env stepping overlaps the
+            # device learn phase (algo/pqn_host.make_train_async)
+            from purejaxql_tpu.algo.pqn_host import make_train_async
+
+            train_vjit = (lambda f: (lambda rngs: jax.tree_util.tree_map(
+                lambda x: x[None], f(rngs[0]))))(make_train_async(config))
+        else:
+            train_vjit = jax.jit(make_train(config))
+            train_vjit = (lambda f: (lambda rngs: jax.tree_util.tree_map(
+                lambda x: x[None], f(rngs[0]))))(train_vjit)
     elif config.get("FUSED_ROLLOUT", False):
         # the fused-rollout Pallas kernels are single-seed programs (no
         # batched grid): run unvmapped, re-add the seed axis for the

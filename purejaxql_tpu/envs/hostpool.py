@@ -109,22 +109,27 @@ _bundled_loaded = False
 
 def ensure_bundled_plugins() -> None:
     """Build + register the bundled plug-in games (cpp/plugins/): Pong-EH
-    (84x84x4 pixel obs, the ALE-Pong-class demonstration of the plug-in
-    socket) and PongRam-EH (8-float RAM-style obs). Idempotent."""
+    / PongRam-EH (ALE-Pong-class) and Breakout-EH / BreakoutRam-EH
+    (ALE-Breakout-class) — two distinct games on the same plug-in socket,
+    each with a pixel (84x84x4) and a RAM-style obs build. Idempotent."""
     global _bundled_loaded
     if _bundled_loaded:
         return
     import fcntl
 
-    pong_dir = os.path.join(_CPP_DIR, "plugins", "pong")
     os.makedirs(os.path.join(_CPP_DIR, "build"), exist_ok=True)
     with open(os.path.join(_CPP_DIR, "build", ".lock"), "w") as lockf:
         fcntl.flock(lockf, fcntl.LOCK_EX)
-        subprocess.run(
-            ["make", "-C", pong_dir], check=True, capture_output=True
-        )
-    load_plugin(os.path.join(pong_dir, "libehpong.so"))
-    load_plugin(os.path.join(pong_dir, "libehpong_ram.so"))
+        for game, libs in (
+            ("pong", ("libehpong.so", "libehpong_ram.so")),
+            ("breakout", ("libehbreakout.so", "libehbreakout_ram.so")),
+        ):
+            game_dir = os.path.join(_CPP_DIR, "plugins", game)
+            subprocess.run(
+                ["make", "-C", game_dir], check=True, capture_output=True
+            )
+            for lib in libs:
+                load_plugin(os.path.join(game_dir, lib))
     _bundled_loaded = True
 
 

@@ -92,11 +92,33 @@ def _populate():
         PickPlace,
         PegInsert,
         BlockRotate,
+        PandaPickCube,
+        PushCube,
+        HandOver,
     )
 
     _REGISTRY["PickPlace-v0"] = PickPlace
     _REGISTRY["PegInsert-v0"] = PegInsert
     _REGISTRY["BlockRotate-v0"] = BlockRotate
+
+    # the reference's manipulation block 1:1
+    # (train_playground_all.sh:117-163)
+    _REGISTRY["PandaPickCubeCartesian"] = partial(
+        PickPlace, name="PandaPickCubeCartesian"
+    )
+    _REGISTRY["PandaPickCube"] = PandaPickCube
+    _REGISTRY["PandaPickCubeOrientation"] = partial(
+        PandaPickCube, orientation=True
+    )
+    _REGISTRY["PandaRobotiqPushCube"] = PushCube
+    _REGISTRY["AlohaHandOver"] = HandOver
+    _REGISTRY["AlohaSinglePegInsertion"] = partial(
+        PegInsert, name="AlohaSinglePegInsertion"
+    )
+    _REGISTRY["LeapCubeReorient"] = partial(
+        BlockRotate, task="reorient", name="LeapCubeReorient"
+    )
+    _REGISTRY["LeapCubeRotateZAxis"] = partial(BlockRotate, task="spin")
 
     # locomotion-class tasks (reference family:
     # train_playground_all.sh:53-114 — quadruped + humanoid joystick block).

@@ -47,6 +47,21 @@ def _layer_norm(x, scale, bias, eps=1e-6):
     return y * scale + bias
 
 
+def _mp_matmul(a, b, dtype):
+    """Mixed-precision GEMM: bf16 operands on the MXU, f32 accumulation
+    and result (the activations/recurrent state stay f32 — only the
+    matmul operands quantize). Exact identity for dtype=f32: the plain
+    `@` keeps the established FAST_BPTT numerics."""
+    if dtype == jnp.float32:
+        return a @ b
+    return jax.lax.dot_general(
+        a.astype(dtype),
+        b.astype(dtype),
+        (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _batch_stats_update(x, ra_mean, ra_var, momentum=0.99):
     """flax nn.BatchNorm's running-average update (train mode): stats over
     all axes but the last, biased variance, EMA with `momentum`."""
@@ -108,12 +123,16 @@ def _batch_renorm_train(x, scale, bias, stats):
     return y * mul + bias, new_stats
 
 
-def lstm_layer_scan(x_seq, resets, carry0, cell_params):
+def lstm_layer_scan(x_seq, resets, carry0, cell_params,
+                    compute_dtype=jnp.float32):
     """One LSTM layer over time with hoisted input projections.
 
     carry0: (c, h) each (B, H) — flax OptimizedLSTMCell order/math
     (i/f/g/o gates; input kernels ii/if/ig/io without bias, hidden kernels
     hi/hf/hg/ho with bias). Returns ((c_T, h_T), y_seq).
+    `compute_dtype=bf16` runs the two GEMM families (window-wide input
+    projection, per-step hidden projection) at MXU bf16 rate with f32
+    accumulation; gates and the (c, h) state stay f32.
     """
     w_i = jnp.concatenate(
         [cell_params[f"i{g}"]["kernel"] for g in ("i", "f", "g", "o")],
@@ -128,7 +147,7 @@ def lstm_layer_scan(x_seq, resets, carry0, cell_params):
     )  # (4H,)
     hidden = w_h.shape[0]
 
-    xi_seq = x_seq @ w_i  # (T, B, 4H) — ONE GEMM for the whole window
+    xi_seq = _mp_matmul(x_seq, w_i, compute_dtype)  # ONE window-wide GEMM
 
     def step(carry, inp):
         c, h = carry
@@ -136,7 +155,7 @@ def lstm_layer_scan(x_seq, resets, carry0, cell_params):
         keep = 1.0 - reset[:, None]
         c = c * keep
         h = h * keep
-        hh = h @ w_h + b_h
+        hh = _mp_matmul(h, w_h, compute_dtype) + b_h
         a = xi + hh
         i = jax.nn.sigmoid(a[..., :hidden])
         f = jax.nn.sigmoid(a[..., hidden:2 * hidden])
@@ -149,13 +168,14 @@ def lstm_layer_scan(x_seq, resets, carry0, cell_params):
     return jax.lax.scan(step, carry0, (xi_seq, resets))
 
 
-def gru_layer_scan(x_seq, resets, h0, cell_params):
+def gru_layer_scan(x_seq, resets, h0, cell_params,
+                   compute_dtype=jnp.float32):
     """One GRU layer over time with hoisted input projections.
 
     x_seq: (T, B, F), resets: (T, B), h0: (B, H).
     cell_params: flax GRUCell param dict (ir/iz/in with bias, hr/hz no
     bias, hn with bias — flax.linen.GRUCell math).
-    Returns (h_T, y_seq (T, B, H)).
+    Returns (h_T, y_seq (T, B, H)). `compute_dtype`: see lstm_layer_scan.
     """
     w_i = jnp.concatenate(
         [cell_params["ir"]["kernel"], cell_params["iz"]["kernel"],
@@ -173,12 +193,12 @@ def gru_layer_scan(x_seq, resets, h0, cell_params):
     hidden = cell_params["hr"]["kernel"].shape[0]
 
     # ONE projection GEMM for the whole window
-    xi_seq = x_seq @ w_i + b_i  # (T, B, 3H)
+    xi_seq = _mp_matmul(x_seq, w_i, compute_dtype) + b_i  # (T, B, 3H)
 
     def step(h, inp):
         xi, reset = inp
         h = jnp.where(reset[:, None], jnp.zeros_like(h), h)
-        hh = h @ w_h  # (B, 3H) — the only per-step matmul
+        hh = _mp_matmul(h, w_h, compute_dtype)  # the only per-step matmul
         r = jax.nn.sigmoid(xi[..., :hidden] + hh[..., :hidden])
         z = jax.nn.sigmoid(
             xi[..., hidden:2 * hidden] + hh[..., hidden:2 * hidden]
@@ -384,6 +404,7 @@ def fast_rnn_train_forward(
     input_norm_type: str = "batch_norm",
     pallas: bool = False,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> Tuple[Any, jax.Array, Dict[str, Any]]:
     """Train-mode forward of RNNQNetwork (GRU, layer_norm trunk) computed
     directly from the flax param dict. Returns (new_hidden, q_vals,
@@ -414,7 +435,7 @@ def fast_rnn_train_forward(
     for i in range(num_layers):
         d = params[f"Dense_{i}"]
         ln = params[f"LayerNorm_{i}"]
-        x = x @ d["kernel"] + d["bias"]
+        x = _mp_matmul(x, d["kernel"], compute_dtype) + d["bias"]
         x = _layer_norm(x, ln["scale"], ln["bias"])
         x = jax.nn.relu(x)
 
@@ -427,7 +448,9 @@ def fast_rnn_train_forward(
     for layer in range(num_rnn_layers):
         if cell_type == "lstm":
             cell = params[f"ScannedRNN_{layer}"]["OptimizedLSTMCell_0"]
-            carry_T, x = lstm_layer_scan(x, done, hidden[layer], cell)
+            carry_T, x = lstm_layer_scan(
+                x, done, hidden[layer], cell, compute_dtype=compute_dtype
+            )
             new_hidden.append(carry_T)
         else:
             cell = params[f"ScannedRNN_{layer}"]["GRUCell_0"]
@@ -436,9 +459,11 @@ def fast_rnn_train_forward(
                     x, done, hidden[layer], cell, interpret=interpret
                 )
             else:
-                h_T, x = gru_layer_scan(x, done, hidden[layer], cell)
+                h_T, x = gru_layer_scan(
+                    x, done, hidden[layer], cell, compute_dtype=compute_dtype
+                )
             new_hidden.append(h_T)
 
     head = params[f"Dense_{num_layers}"]
-    q_vals = x @ head["kernel"] + head["bias"]
+    q_vals = _mp_matmul(x, head["kernel"], compute_dtype) + head["bias"]
     return new_hidden, q_vals, new_batch_stats

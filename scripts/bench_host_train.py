@@ -23,26 +23,25 @@ import jax
 import numpy as np
 
 from purejaxql_tpu.core.config import compose
-from purejaxql_tpu.algo.pqn_host import make_train
+from purejaxql_tpu.algo.pqn_host import make_train, make_train_async
 
 ENV_NAME = sys.argv[1] if len(sys.argv) > 1 else "PongRam-EH"
 TOTAL = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
 
-config = compose(
-    alg="pqn_host_minatar",
-    overrides=[
-        f"ENV_NAME={ENV_NAME}",
-        f"TOTAL_TIMESTEPS={TOTAL}",
-        f"TOTAL_TIMESTEPS_DECAY={TOTAL}",
-        "NUM_ENVS=64",
-        "NUM_STEPS=32",
-        "NUM_MINIBATCHES=8",
-        "NUM_EPOCHS=2",
-        "HIDDEN_SIZE=128",
-        "TEST_ENVS=8",
-        "COLLECT_METRICS=False",
-    ],
-)
+OVERRIDES = [
+    f"ENV_NAME={ENV_NAME}",
+    f"TOTAL_TIMESTEPS={TOTAL}",
+    f"TOTAL_TIMESTEPS_DECAY={TOTAL}",
+    "NUM_ENVS=64",
+    "NUM_STEPS=32",
+    "NUM_MINIBATCHES=8",
+    "NUM_EPOCHS=2",
+    "HIDDEN_SIZE=128",
+    "TEST_ENVS=8",
+    "COLLECT_METRICS=False",
+]
+
+config = compose(alg="pqn_host_minatar", overrides=OVERRIDES)
 fn = jax.jit(make_train(dict(config)))
 out = jax.block_until_ready(fn(jax.random.PRNGKey(0)))  # compile + warmup
 times = []
@@ -50,4 +49,22 @@ for _ in range(2):
     t0 = time.time()
     out = jax.block_until_ready(fn(jax.random.PRNGKey(0)))
     times.append(time.time() - t0)
-print(json.dumps({"steps_per_s": TOTAL / min(times), "env": ENV_NAME}))
+sync_sps = TOTAL / min(times)
+
+# lag-1 pipelined trainer (ASYNC_ENVS): host env stepping overlaps the
+# device learn phase. Separate pools (stateful envs).
+afn = make_train_async(dict(config))
+out = afn(jax.random.PRNGKey(0))  # compile + warmup pass
+times = []
+for _ in range(2):
+    t0 = time.time()
+    out = afn(jax.random.PRNGKey(0))
+    times.append(time.time() - t0)
+async_sps = TOTAL / min(times)
+
+print(json.dumps({
+    "steps_per_s": sync_sps,
+    "async_steps_per_s": async_sps,
+    "async_over_sync": round(async_sps / sync_sps, 2),
+    "env": ENV_NAME,
+}))

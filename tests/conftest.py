@@ -51,3 +51,28 @@ def _clear_jax_caches_between_modules():
 
     jax.clear_caches()
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+
+# ---------------------------------------------------------------------------
+# Quick tier: `pytest -m quick` runs a <5-minute engine smoke — config
+# policy, stage math (returns), all three golden-numerics families, envs,
+# wrappers, CLI end-to-end — so "the full suite takes ~an hour" is never a
+# reason not to test before a commit. Membership is whole fast modules
+# (measured: the set below sums to ~3 minutes single-process) minus any
+# test individually marked slow.
+# ---------------------------------------------------------------------------
+
+QUICK_MODULES = {
+    "test_fast_defaults", "test_returns", "test_utils", "test_gif",
+    "test_cli", "test_envs", "test_golden", "test_minatar_golden",
+    "test_forager_golden", "test_batch_renorm", "test_wrappers_extra",
+    "test_sweep", "test_rollout_tool",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item, "module", None)
+        name = mod.__name__.rsplit(".", 1)[-1] if mod else ""
+        if name in QUICK_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

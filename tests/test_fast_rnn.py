@@ -270,3 +270,63 @@ def test_trainer_fast_bptt_lstm_craftax_trains():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), atol=5e-4, rtol=1e-3
         )
+
+
+def test_mp_matmul_bf16_close_and_f32_exact():
+    """Mixed-precision GEMM: bf16 operands/f32 accumulation tracks the
+    f32 product to bf16 tolerance; dtype=f32 is the literal `@`."""
+    from purejaxql_tpu.ops.fast_rnn import _mp_matmul
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    a = jax.random.normal(k1, (6, 32, 48))
+    b = jax.random.normal(k2, (48, 96))
+    exact = a @ b
+    np.testing.assert_array_equal(
+        np.asarray(_mp_matmul(a, b, jnp.float32)), np.asarray(exact)
+    )
+    approx = np.asarray(_mp_matmul(a, b, jnp.bfloat16))
+    assert approx.dtype == np.float32  # f32 accumulation/result
+    np.testing.assert_allclose(
+        approx, np.asarray(exact), atol=0.15, rtol=0.03
+    )
+
+
+def test_trainer_fast_bptt_bf16_lstm_trains_close_to_f32():
+    """BF16_COMPUTE + FAST_BPTT (the rnn_craftax mixed-precision learn
+    phase): trains finite and the learned params stay in the f32 path's
+    neighborhood over a short run — master weights are f32, only the
+    GEMM operands quantize."""
+    from purejaxql_tpu.core.config import compose
+    from purejaxql_tpu.algo.pqn_rnn import make_train
+
+    overrides = [
+        "TOTAL_TIMESTEPS=2048",
+        "TOTAL_TIMESTEPS_DECAY=2048",
+        "NUM_ENVS=8",
+        "NUM_STEPS=8",
+        "MEMORY_WINDOW=4",
+        "NUM_MINIBATCHES=2",
+        "NUM_EPOCHS=1",
+        "HIDDEN_SIZE=32",
+        "NUM_LAYERS=1",
+        "NUM_RNN_LAYERS=1",
+        "OPTIMISTIC_RESET_RATIO=4",
+        "TEST_DURING_TRAINING=False",
+        "FAST_BPTT=True",
+    ]
+    rng = jax.random.split(jax.random.PRNGKey(0), 1)
+    cfg32 = compose(alg="pqn_rnn_craftax", overrides=overrides)
+    cfg16 = compose(
+        alg="pqn_rnn_craftax", overrides=overrides + ["BF16_COMPUTE=True"]
+    )
+    out32 = jax.jit(jax.vmap(make_train(dict(cfg32))))(rng)
+    out16 = jax.jit(jax.vmap(make_train(dict(cfg16))))(rng)
+    losses = np.asarray(out16["metrics"]["td_loss"])
+    assert np.isfinite(losses).all()
+    a = jax.tree_util.tree_leaves(out32["runner_state"][0].params)
+    b = jax.tree_util.tree_leaves(out16["runner_state"][0].params)
+    # same trajectory modulo quantization noise accumulated over updates
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=0.05, rtol=0.1
+        )

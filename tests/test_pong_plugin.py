@@ -156,3 +156,60 @@ def test_host_trainer_beats_the_opponent_on_pong_ram():
     # leaves headroom for platform-scheduling jitter in the pool threads
     assert late > -5.0, late
     assert test_late > -8.0, test_late
+
+
+def test_async_trainer_smoke_matches_contract():
+    """The lag-1 pipelined trainer (ASYNC_ENVS) runs end-to-end and
+    produces the same output contract as the sync bridge."""
+    from purejaxql_tpu.algo.pqn_host import make_train_async
+
+    config = compose(
+        alg="pqn_host_minatar",
+        overrides=[
+            "ENV_NAME=PongRam-EH",
+            "TOTAL_TIMESTEPS=8192",
+            "TOTAL_TIMESTEPS_DECAY=8192",
+            "NUM_ENVS=16",
+            "NUM_STEPS=16",
+            "NUM_MINIBATCHES=2",
+            "NUM_EPOCHS=1",
+            "HIDDEN_SIZE=32",
+            "TEST_ENVS=4",
+        ],
+    )
+    out = make_train_async(dict(config))(jax.random.PRNGKey(0))
+    ts = out["runner_state"][0]
+    assert int(np.asarray(ts.timesteps)) == 8192
+    assert int(np.asarray(ts.n_updates)) == 8192 // (16 * 16)
+    assert np.isfinite(np.asarray(out["metrics"]["td_loss"])).all()
+    assert "test/returned_episode_returns" in out["metrics"]
+
+
+@pytest.mark.slow
+def test_async_trainer_learns_pong_ram():
+    """The lag-1 policy staleness does not break learning: the async
+    trainer reaches the same winning band as the sync bridge on the
+    1.2M-step Pong budget."""
+    from purejaxql_tpu.algo.pqn_host import make_train_async
+
+    config = compose(
+        alg="pqn_host_minatar",
+        overrides=[
+            "ENV_NAME=PongRam-EH",
+            "TOTAL_TIMESTEPS=1200000",
+            "TOTAL_TIMESTEPS_DECAY=1200000",
+            "NUM_ENVS=64",
+            "NUM_STEPS=32",
+            "NUM_MINIBATCHES=8",
+            "NUM_EPOCHS=2",
+            "LR=0.0003",
+            "HIDDEN_SIZE=128",
+            "TEST_ENVS=8",
+            "EPS_DECAY=0.25",
+        ],
+    )
+    out = make_train_async(dict(config))(jax.random.PRNGKey(0))
+    rets = np.asarray(out["metrics"]["returned_episode_returns"])
+    n = len(rets)
+    late = float(np.nanmean(rets[-n // 10:]))
+    assert late > -5.0, late
