@@ -431,6 +431,25 @@ WORKLOADS = {
         total=int(2621440),
         family="pqn_rnn",
     ),
+    # Mixed-precision FAST_BPTT (ops/fast_rnn._mp_matmul): the LSTM learn
+    # phase's GEMMs — trunk projection, window-wide input projection,
+    # per-step hidden projection — run with bf16 operands and f32
+    # accumulation/state. The analytic roofline puts this workload's
+    # learn phase at ~22% of f32 MXU peak, so doubling the matmul rate is
+    # the lever a Pallas LSTM kernel would not be.
+    "rnn_craftax_bf16": dict(
+        alg="pqn_rnn_craftax",
+        overrides=[
+            "TOTAL_TIMESTEPS=2621440",
+            "TOTAL_TIMESTEPS_DECAY=1000000000",
+            "COLLECT_METRICS=False",
+            "RESET_BANK=256",
+            "FAST_BPTT=True",
+            "BF16_COMPUTE=True",
+        ],
+        total=int(2621440),
+        family="pqn_rnn",
+    ),
     # Pallas GRU-BPTT kernels (fwd+bwd each ONE kernel per grad step):
     # 219k steps/s steady-state (2.9x the flax path) — but the tunneled
     # runtime pays a measured ~160 ms one-time cost per pallas grad-step
@@ -571,7 +590,8 @@ def run_workload(name: str) -> float:
 _PRIORITY = [
     "cartpole_fused", "minatar_fused", "craftax_fast",
     "cartpole_parity", "minatar_parity", "craftax", "craftax_bf16",
-    "rnn_cartpole_fast", "rnn_craftax_fast", "rnn_craftax",
+    "rnn_cartpole_fast", "rnn_craftax_fast", "rnn_craftax_bf16",
+    "rnn_craftax",
     "minatar_eval8", "pendulum_ac_fused", "cartpole_seeds64",
     "pendulum_ac", "vdn_spread_fast", "vdn_spread", "rnn_cartpole",
     "minatar_bf16", "rnn_cartpole_pallas",
