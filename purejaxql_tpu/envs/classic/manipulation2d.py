@@ -656,7 +656,12 @@ class PushCubeParams:
     speed: float = 1.2
     pusher_r: float = 0.05
     cube_half: float = 0.04
-    friction: float = 4.0        # ground friction decay on the sliding cube
+    # quasi-static pushing: the cube stops almost as soon as contact ends
+    # (heavy cube on a high-friction table — the Robotiq push regime).
+    # Low friction makes the task an ice-puck shot: the cube overshoots
+    # the target and any pursuit slams it around (measured: a competent
+    # scripted pusher scored WORSE than doing nothing at friction 4.0).
+    friction: float = 20.0
     target_radius: float = 0.07
     max_steps_in_episode: int = struct.field(pytree_node=False, default=150)
 
@@ -728,9 +733,16 @@ class PushCube(Environment):
         d_ct = jnp.linalg.norm(cube - state.target)
         d_pc = jnp.linalg.norm(pusher - cube)
         in_target = d_ct < params.target_radius
+        # progress term: cube velocity projected on the to-target
+        # direction — rewards pushing from BEHIND the cube (pushing from
+        # the wrong side scores negative), the credit signal plain
+        # -distance shaping is too flat to carry
+        to_tgt = (state.target - cube) / (d_ct + 1e-8)
+        progress = jnp.dot(cube_vel, to_tgt)
         reward = (
             -d_ct
             - 0.2 * d_pc          # stay engaged with the cube
+            + 2.0 * progress
             + 1.0 * in_target
             - 0.01 * jnp.sum(a**2)
         )

@@ -115,6 +115,40 @@ def test_pushcube_untouched_cube_stays_still():
     np.testing.assert_allclose(np.asarray(s.cube), cube0, atol=1e-6)
 
 
+def test_pushcube_scripted_pushing_beats_passive():
+    """Quasi-static friction makes the task solvable by a competent
+    pusher: a scripted get-behind-and-push policy far outscores doing
+    nothing. (At low friction the cube overshoots like an ice puck and
+    the same script scored WORSE than passive — the measured
+    miscalibration the friction default guards against.)"""
+    env, params = make("PandaRobotiqPushCube")
+
+    def scripted(s):
+        to_tgt = s.target - s.cube
+        d = jnp.linalg.norm(to_tgt) + 1e-8
+        dir_t = to_tgt / d
+        behind = s.cube - dir_t * 0.12
+        to_behind = behind - s.pusher
+        db = jnp.linalg.norm(to_behind)
+        a = jnp.where(db > 0.04, to_behind / (db + 1e-8), dir_t)
+        a = jnp.where(d < 0.05, a * 0.0, a)
+        return jnp.clip(a * 2.0, -1, 1)
+
+    def run(policy, seed):
+        _, s = env.reset(jax.random.PRNGKey(seed), params)
+        tot = 0.0
+        for t in range(150):
+            _, s, r, d, _ = env.step(
+                jax.random.PRNGKey(1000 + t), s, policy(s), params
+            )
+            tot += float(r)
+        return tot
+
+    push = np.mean([run(scripted, s) for s in range(4)])
+    idle = np.mean([run(lambda s: jnp.zeros(2), s) for s in range(4)])
+    assert push > idle + 50.0, (push, idle)
+
+
 def test_pushcube_contact_pushes_cube_away():
     env, params = make("PandaRobotiqPushCube")
     _, s = env.reset(jax.random.PRNGKey(11), params)
