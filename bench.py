@@ -502,6 +502,24 @@ WORKLOADS = {
         family="pqn_ac",
         no_vmap=True,
     ),
+    # VDN learn phase through the Pallas GRU-BPTT kernels (the same
+    # fwd/bwd single-kernel recurrence as rnn_cartpole_pallas — VDN's
+    # agent-flattened minibatches are GRU + layer_norm, so the kernel
+    # applies directly). 40-update slice for the same tunneled-runtime
+    # first-run warmup reason as rnn_cartpole_pallas.
+    "vdn_spread_pallas": dict(
+        alg="pqn_vdn_spread",
+        overrides=[
+            "TOTAL_TIMESTEPS=128000",
+            "TOTAL_TIMESTEPS_DECAY=1000000",
+            "COLLECT_METRICS=False",
+            "TEST_DURING_TRAINING=False",
+            "FAST_BPTT=True",
+            "PALLAS_BPTT=True",
+        ],
+        total=int(128000),
+        family="pqn_vdn",
+    ),
 }
 
 # headline per workload group = first row in the list that succeeds
@@ -594,7 +612,7 @@ _PRIORITY = [
     "rnn_craftax",
     "minatar_eval8", "pendulum_ac_fused", "cartpole_seeds64",
     "pendulum_ac", "vdn_spread_fast", "vdn_spread", "rnn_cartpole",
-    "minatar_bf16", "rnn_cartpole_pallas",
+    "minatar_bf16", "rnn_cartpole_pallas", "vdn_spread_pallas",
 ]
 _REQUIRED = set(_PRIORITY[:6])  # headline candidates + parity fallbacks
 
