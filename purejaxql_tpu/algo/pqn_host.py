@@ -394,7 +394,9 @@ def make_train_async(config: Dict[str, Any], pool: Optional[HostEnvPool] = None)
             return x[:, :E] if test_envs else x
 
         obs_s = strip(obs).reshape(T, E, *obs_shape)
-        next_obs_last = strip(final_obs).reshape(-1, *obs_shape)[:E]
+        # final_obs is (total_envs, obs_dim): slice the ENV axis (the
+        # feature-axis strip() is for (T, E, ...) streams only)
+        next_obs_last = final_obs[:E].reshape(E, *obs_shape)
         transitions = Transition(
             obs=obs_s,
             action=strip(actions),
@@ -465,7 +467,6 @@ def make_train_async(config: Dict[str, Any], pool: Optional[HostEnvPool] = None)
                 lambda x: preprocess(x, _rng), transitions
             )
             tgts = preprocess(targets, _rng)
-            rng, _rng = jax.random.split(rng)
             (train_state, rng), losses = jax.lax.scan(
                 _learn_phase, (train_state, rng), (minibatches, tgts)
             )
@@ -498,11 +499,11 @@ def make_train_async(config: Dict[str, Any], pool: Optional[HostEnvPool] = None)
         ret_r = np.zeros(total_envs, np.float32)
         ret_l = np.zeros(total_envs, np.int64)
 
-        def rollout(snapshot, obs0, eps_value, seed):
+        def rollout(snapshot, obs0, eps_value, rollout_key):
             """Worker-side: T host env steps under the snapshot policy.
             Returns stacked numpy streams + the final obs."""
             params, batch_stats = snapshot
-            rngs = jax.random.split(jax.random.PRNGKey(seed), T)
+            rngs = jax.random.split(rollout_key, T)
             o = obs0
             obs_b = np.empty((T, total_envs, pool.obs_dim), np.float32)
             act_b = np.empty((T, total_envs), np.int32)
@@ -524,20 +525,29 @@ def make_train_async(config: Dict[str, Any], pool: Optional[HostEnvPool] = None)
 
         result_q: "queue.Queue" = queue.Queue(maxsize=1)
 
-        def worker(snapshot, obs0, eps_value, seed):
-            result_q.put(rollout(snapshot, obs0, eps_value, seed))
+        def worker(snapshot, obs0, eps_value, rollout_key):
+            # enqueue exceptions too: a dead worker must crash the run,
+            # not leave the main loop blocked on result_q.get() forever
+            try:
+                result_q.put(rollout(snapshot, obs0, eps_value, rollout_key))
+            except BaseException as e:  # noqa: BLE001
+                result_q.put(e)
 
         metrics_hist = []
         snapshot = (train_state.params, train_state.batch_stats)
+        rng, roll_rng, loop_rng = jax.random.split(rng, 3)
         thread = threading.Thread(
             target=worker,
-            args=(snapshot, obs, float(eps_scheduler(0)), 0),
+            args=(snapshot, obs, float(eps_scheduler(0)),
+                  jax.random.fold_in(roll_rng, 0)),
             daemon=True,
         )
         thread.start()
-        rng, loop_rng = jax.random.split(rng)
         for u in range(config["NUM_UPDATES"]):
-            obs_b, act_b, rew_b, don_b, q_b, obs = result_q.get()
+            got = result_q.get()
+            if isinstance(got, BaseException):
+                raise got
+            obs_b, act_b, rew_b, don_b, q_b, obs = got
             # episode accounting (host side, all envs)
             for t in range(T):
                 ep_r += rew_b[t]
@@ -554,7 +564,8 @@ def make_train_async(config: Dict[str, Any], pool: Optional[HostEnvPool] = None)
                 eps_value = float(eps_scheduler(u + 1))
                 thread = threading.Thread(
                     target=worker,
-                    args=(snapshot, obs, eps_value, u + 1),
+                    args=(snapshot, obs, eps_value,
+                          jax.random.fold_in(roll_rng, u + 1)),
                     daemon=True,
                 )
                 thread.start()

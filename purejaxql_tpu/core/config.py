@@ -206,8 +206,17 @@ def resolve_fast_paths(
 
             if supports_fast_bptt(config):
                 _default("FAST_BPTT", True)
-        except Exception:
-            pass
+        except Exception as e:
+            # a broken eligibility check must not kill config composition,
+            # but silently losing the ~2x default would hide the bug —
+            # say what happened and fall back to the flax path
+            import sys
+
+            print(
+                f"resolve_fast_paths: FAST_BPTT eligibility check failed "
+                f"({type(e).__name__}: {e}); defaulting to the flax path",
+                file=sys.stderr,
+            )
         if alg.startswith("pqn_rnn") and config.get(
             "USE_OPTIMISTIC_RESETS", False
         ):

@@ -151,8 +151,10 @@ struct Breakout {
         if (!any) rebuild_wall();  // second wall, episode continues
       }
     }
-    // paddle
-    if (bvy > 0 && by >= kPaddleY - 1.0f && by <= kPaddleY + 1.0f &&
+    // paddle — crossing test, not a band test: at top ball speed
+    // (2.2 px/frame) a 2 px band can be stepped over entirely, losing a
+    // life with the paddle perfectly positioned (tunneling)
+    if (bvy > 0 && by >= kPaddleY - 1.0f && by - bvy <= kPaddleY + 1.0f &&
         std::fabs(bx - px) <= kPaddleHalf + 1.0f) {
       float off = (bx - px) / (kPaddleHalf + 1.0f);
       float speed = std::hypot(bvx, bvy);

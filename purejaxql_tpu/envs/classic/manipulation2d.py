@@ -76,11 +76,13 @@ class PickPlace(Environment):
         return self._name or "PickPlace-v0"
 
     def reset_env(self, key, params):
-        k_b, k_t, k_g = jax.random.split(key, 3)
+        # one key per independent draw: reusing a key makes the two
+        # uniforms perfectly correlated (targets collapse onto a line)
+        k_b, k_tx, k_tz, k_g = jax.random.split(key, 4)
         bx = jax.random.uniform(k_b, (), minval=-0.7, maxval=0.7)
         block = jnp.array([bx, params.block_half])
-        tx = jax.random.uniform(k_t, (), minval=-0.7, maxval=0.7)
-        tz = jax.random.uniform(k_t, (), minval=0.35, maxval=0.8)
+        tx = jax.random.uniform(k_tx, (), minval=-0.7, maxval=0.7)
+        tz = jax.random.uniform(k_tz, (), minval=0.35, maxval=0.8)
         gx = jax.random.uniform(k_g, (), minval=-0.7, maxval=0.7)
         state = PickPlaceState(
             grip=jnp.array([gx, 0.6]),
@@ -208,9 +210,9 @@ class PegInsert(Environment):
         return self._name or "PegInsert-v0"
 
     def reset_env(self, key, params):
-        k_p, k_s = jax.random.split(key)
-        px = jax.random.uniform(k_p, (), minval=-0.8, maxval=0.8)
-        pz = jax.random.uniform(k_p, (), minval=params.table_z + 0.2, maxval=0.9)
+        k_px, k_pz, k_s = jax.random.split(key, 3)
+        px = jax.random.uniform(k_px, (), minval=-0.8, maxval=0.8)
+        pz = jax.random.uniform(k_pz, (), minval=params.table_z + 0.2, maxval=0.9)
         slot_x = jax.random.uniform(k_s, (), minval=-0.5, maxval=0.5)
         state = PegInsertState(
             peg=jnp.array([px, pz]),
@@ -503,10 +505,10 @@ class PandaPickCube(Environment):
         )
 
     def reset_env(self, key, params):
-        k_b, k_t, k_g, k_y = jax.random.split(key, 4)
+        k_b, k_tx, k_tz, k_g, k_y = jax.random.split(key, 5)
         bx = jax.random.uniform(k_b, (), minval=-0.7, maxval=0.7)
-        tx = jax.random.uniform(k_t, (), minval=-0.7, maxval=0.7)
-        tz = jax.random.uniform(k_t, (), minval=0.35, maxval=0.8)
+        tx = jax.random.uniform(k_tx, (), minval=-0.7, maxval=0.7)
+        tz = jax.random.uniform(k_tz, (), minval=0.35, maxval=0.8)
         gx = jax.random.uniform(k_g, (), minval=-0.7, maxval=0.7)
         tyaw = jnp.where(
             self.orientation,
@@ -692,8 +694,9 @@ class PushCube(Environment):
         pusher = jax.random.uniform(k_p, (2,), minval=-0.8, maxval=0.8)
         cube = jax.random.uniform(k_c, (2,), minval=-0.5, maxval=0.5)
         # target at least 0.3 away from the cube so episodes need a push
-        ang = jax.random.uniform(k_t, (), minval=0.0, maxval=2 * jnp.pi)
-        r = jax.random.uniform(k_t, (), minval=0.3, maxval=0.6)
+        k_ang, k_r = jax.random.split(k_t)
+        ang = jax.random.uniform(k_ang, (), minval=0.0, maxval=2 * jnp.pi)
+        r = jax.random.uniform(k_r, (), minval=0.3, maxval=0.6)
         target = jnp.clip(
             cube + r * jnp.array([jnp.cos(ang), jnp.sin(ang)]), -0.85, 0.85
         )
@@ -833,8 +836,9 @@ class HandOver(Environment):
     def reset_env(self, key, params):
         k_b, k_t, k_l, k_r = jax.random.split(key, 4)
         bx = jax.random.uniform(k_b, (), minval=-0.8, maxval=-0.4)
-        tx = jax.random.uniform(k_t, (), minval=0.4, maxval=0.8)
-        tz = jax.random.uniform(k_t, (), minval=0.35, maxval=0.8)
+        k_tx, k_tz = jax.random.split(k_t)
+        tx = jax.random.uniform(k_tx, (), minval=0.4, maxval=0.8)
+        tz = jax.random.uniform(k_tz, (), minval=0.35, maxval=0.8)
         lx = jax.random.uniform(k_l, (), minval=-0.8, maxval=-0.2)
         rx = jax.random.uniform(k_r, (), minval=0.2, maxval=0.8)
         state = HandOverState(

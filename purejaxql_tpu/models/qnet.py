@@ -68,11 +68,18 @@ class QNetwork(nn.Module):
             normalize = lambda h: nn.LayerNorm(dtype=ln_dtype)(h)
         elif self.norm_type == "batch_norm":
             normalize = lambda h: nn.BatchNorm(
-                use_running_average=not train, axis_name=self.norm_axis_name
+                use_running_average=not train,
+                axis_name=self.norm_axis_name,
+                dtype=ln_dtype,
             )(h)
         elif self.norm_type == "batch_renorm":
             from purejaxql_tpu.models.batch_renorm import BatchRenorm
 
+            # BatchRenorm (custom module) computes in f32; under
+            # BF16_COMPUTE this branch pays the per-layer cast bounce the
+            # LayerNorm/BatchNorm branches avoid — acceptable: the
+            # batch_renorm trunks (craftax family) ship layer_norm
+            # NORM_TYPE, renorm appears only as the input norm
             normalize = lambda h: BatchRenorm(
                 use_running_average=not train, axis_name=self.norm_axis_name
             )(h)

@@ -213,3 +213,28 @@ def test_async_trainer_learns_pong_ram():
     n = len(rets)
     late = float(np.nanmean(rets[-n // 10:]))
     assert late > -5.0, late
+
+
+def test_async_trainer_pixel_obs_smoke():
+    """Pixel envs have obs_dim >> NUM_ENVS — the shape regime where an
+    env-axis/feature-axis mixup in the async learn path explodes (or
+    silently bootstraps from garbage). Run the CNN path end-to-end."""
+    from purejaxql_tpu.algo.pqn_host import make_train_async
+
+    config = compose(
+        alg="pqn_host_minatar",
+        overrides=[
+            "ENV_NAME=Pong-EH",
+            "TOTAL_TIMESTEPS=1024",
+            "TOTAL_TIMESTEPS_DECAY=1024",
+            "NUM_ENVS=8",
+            "NUM_STEPS=8",
+            "NUM_MINIBATCHES=2",
+            "NUM_EPOCHS=1",
+            "HIDDEN_SIZE=32",
+            "TEST_ENVS=4",
+        ],
+    )
+    out = make_train_async(dict(config))(jax.random.PRNGKey(0))
+    assert int(np.asarray(out["runner_state"][0].timesteps)) == 1024
+    assert np.isfinite(np.asarray(out["metrics"]["td_loss"])).all()
